@@ -1,0 +1,21 @@
+"""Test config: run on a virtual 8-device CPU mesh.
+
+This is the fake-backend multi-device capability the reference lacks
+(SURVEY.md §4 implication): every sharding/collective path is exercised on
+CPU with 8 XLA host devices, no TPU needed.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+# The axon site hook may import jax before this conftest runs, freezing the
+# platform choice; force CPU explicitly so tests never touch the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_threefry_partitionable", True)
