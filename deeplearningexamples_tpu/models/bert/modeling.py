@@ -1,0 +1,269 @@
+"""BERT model family.
+
+TPU-native re-design of the reference BERT
+(``PyTorch/LanguageModeling/BERT/modeling.py``): embeddings (:166-199),
+self-attention (:304-384), fused bias+GELU ``LinearActivation`` (:130),
+encoder with activation checkpointing (:471-495), pooler, pretraining heads
+(:890), and task heads (QA :1301, sequence classification).
+
+TPU-first differences from the reference:
+
+- attention uses the Pallas flash kernel (``ops/flash_attention.py``) —
+  no (B, H, S, S) score tensor in HBM; the reference's (seq, bsz, hidden)
+  layout tricks and ``jit.script``-fused bias+GELU are unnecessary (XLA
+  fuses bias+GELU into the matmul epilogue on its own)
+- activation checkpointing via ``flax.linen.remat`` instead of
+  ``torch.utils.checkpoint``
+- bf16 compute / fp32 params; LayerNorm statistics in fp32
+- vocab padded to a multiple of 128 (lane width) — the reference pads to 8
+  (``run_pretraining.py:382-384``)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops import flash_attention
+
+__all__ = [
+    "BertConfig",
+    "BertModel",
+    "BertForPreTraining",
+    "BertForQuestionAnswering",
+    "BertForSequenceClassification",
+    "BERT_CONFIGS",
+]
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30528  # 30522 padded up; pad further to %128 at embed
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    remat: bool = False  # activation checkpointing over encoder layers
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def padded_vocab(self) -> int:
+        return ((self.vocab_size + 127) // 128) * 128
+
+
+BERT_CONFIGS = {
+    "base": BertConfig(),
+    "large": BertConfig(
+        hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096
+    ),
+}
+
+
+def _dense(features, cfg, name=None, dtype=jnp.float32):
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        kernel_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+    )
+
+
+class BertEmbeddings(nn.Module):
+    cfg: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, deterministic: bool):
+        cfg = self.cfg
+        emb_init = nn.initializers.normal(cfg.initializer_range)
+        word = nn.Embed(cfg.padded_vocab, cfg.hidden_size, embedding_init=emb_init,
+                        dtype=self.dtype, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(input_ids.shape[-1])[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=emb_init, dtype=self.dtype,
+                       name="position_embeddings")(pos_ids)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, embedding_init=emb_init,
+                       dtype=self.dtype, name="token_type_embeddings")(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="LayerNorm")(x)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        return x
+
+
+class BertSelfAttention(nn.Module):
+    """MHA via the Pallas flash kernel (reference ``BertSelfAttention``
+    ``modeling.py:304-384`` + output projection :386-398)."""
+
+    cfg: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic: bool):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, hd = cfg.num_heads, cfg.head_dim
+
+        qkv = _dense(3 * cfg.hidden_size, cfg, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # (B, S, H*D) -> (B, H, S, D)
+            return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        ctx = flash_attention(heads(q), heads(k), heads(v), key_mask=attention_mask)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        out = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="output")(ctx)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
+        return out
+
+
+class BertLayer(nn.Module):
+    cfg: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, attention_mask, deterministic: bool):
+        cfg = self.cfg
+        attn = BertSelfAttention(cfg, self.dtype, name="attention")(
+            x, attention_mask, deterministic
+        )
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="attention_ln")(x + attn)
+        # LinearActivation fused bias+GELU (reference modeling.py:130) — XLA
+        # fuses the bias+gelu epilogue; tanh-approx GELU matches reference.
+        y = _dense(cfg.intermediate_size, cfg, dtype=self.dtype, name="intermediate")(x)
+        y = nn.gelu(y, approximate=True)
+        y = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="ffn_output")(y)
+        y = nn.Dropout(cfg.hidden_dropout)(y, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="output_ln")(x + y)
+        return x
+
+
+class BertModel(nn.Module):
+    cfg: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask=None,
+        token_type_ids=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        x = BertEmbeddings(cfg, self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic
+        )
+        layer_cls = BertLayer
+        if cfg.remat:
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,))
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
+                x, attention_mask, deterministic
+            )
+        # pooler: tanh dense over [CLS] (reference BertPooler)
+        pooled = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="pooler")(x[:, 0])
+        pooled = jnp.tanh(pooled)
+        return x, pooled
+
+
+class BertForPreTraining(nn.Module):
+    """MLM + NSP heads (reference ``BertForPreTraining`` ``modeling.py:890``,
+    ``BertPreTrainingHeads`` :860-880). MLM decoder is weight-tied to the
+    word embeddings, with its own bias."""
+
+    cfg: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids,
+                 masked_positions=None, deterministic: bool = True):
+        """``masked_positions`` (B, P) enables the reference's
+        dense-sequence-output optimization (``modeling.py`` dense_seq_output,
+        ``run_pretraining.py``): only the P masked positions go through the
+        vocab projection — a ~seq/P reduction of the dominant matmul."""
+        cfg = self.cfg
+        seq, pooled = BertModel(cfg, self.dtype, name="bert")(
+            input_ids, attention_mask, token_type_ids, deterministic
+        )
+        if masked_positions is not None:
+            seq = jnp.take_along_axis(
+                seq, masked_positions[:, :, None], axis=1
+            )  # (B, P, H)
+        # MLM transform
+        t = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="mlm_transform")(seq)
+        t = nn.gelu(t, approximate=True)
+        t = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="mlm_ln")(t)
+        # tied decoder — bf16 matmul, fp32 accumulation/logits
+        word_emb = self.variables["params"]["bert"]["embeddings"][
+            "word_embeddings"]["embedding"]
+        mlm_logits = jax.lax.dot_general(
+            t.astype(self.dtype), word_emb.astype(self.dtype),
+            (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        mlm_bias = self.param("mlm_bias", nn.initializers.zeros, (cfg.padded_vocab,))
+        mlm_logits = mlm_logits + mlm_bias
+        nsp_logits = _dense(2, cfg, dtype=jnp.float32, name="nsp")(
+            pooled.astype(jnp.float32)
+        )
+        return mlm_logits, nsp_logits
+
+
+class BertForQuestionAnswering(nn.Module):
+    """Span start/end head (reference ``modeling.py:1301``)."""
+
+    cfg: BertConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids,
+                 deterministic: bool = True):
+        seq, _ = BertModel(self.cfg, self.dtype, name="bert")(
+            input_ids, attention_mask, token_type_ids, deterministic
+        )
+        logits = _dense(2, self.cfg, dtype=jnp.float32, name="qa_outputs")(
+            seq.astype(jnp.float32)
+        )
+        start, end = logits[..., 0], logits[..., 1]
+        return start, end
+
+
+class BertForSequenceClassification(nn.Module):
+    """GLUE-style head (reference ``BertForSequenceClassification``)."""
+
+    cfg: BertConfig
+    num_labels: int = 2
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids,
+                 deterministic: bool = True):
+        _, pooled = BertModel(self.cfg, self.dtype, name="bert")(
+            input_ids, attention_mask, token_type_ids, deterministic
+        )
+        pooled = nn.Dropout(self.cfg.hidden_dropout)(pooled, deterministic=deterministic)
+        return _dense(self.num_labels, self.cfg, dtype=jnp.float32, name="classifier")(
+            pooled.astype(jnp.float32)
+        )

@@ -1,0 +1,95 @@
+"""SSD300 training task: MultiBox loss with hard negative mining.
+
+Loss semantics follow the reference ``Loss`` (``ssd/model.py:132-196``):
+- SmoothL1 on encoded loc offsets over positive anchors
+- CE on conf with 3:1 hard-negative mining — negatives ranked by conf loss,
+  top 3x(num_pos) kept per image
+- total = (loc + conf) averaged over images weighted by num_pos
+
+The mining rank trick is the reference's double-argsort (:167-178), which is
+fully vectorizable — no boolean-size-dependent shapes, jit-safe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .boxes import DefaultBoxes, dboxes300_coco, decode_batch
+from .model import SSD300
+
+__all__ = ["SSDTask", "multibox_loss"]
+
+
+def smooth_l1(x):
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+def multibox_loss(loc_pred, conf_pred, loc_target, cls_target, neg_ratio: int = 3):
+    """loc_pred (B,N,4), conf_pred (B,N,C), loc_target (B,N,4),
+    cls_target (B,N) int (0 = background)."""
+    pos = cls_target > 0  # (B, N)
+    num_pos = jnp.sum(pos, axis=1)  # (B,)
+
+    sl1 = jnp.sum(smooth_l1(loc_pred - loc_target), axis=-1)  # (B, N)
+    loc_loss = jnp.sum(sl1 * pos, axis=1)  # (B,)
+
+    con = optax.softmax_cross_entropy_with_integer_labels(
+        conf_pred.astype(jnp.float32), cls_target
+    )  # (B, N)
+
+    # hard negative mining: rank negatives by loss via double argsort
+    con_neg = jnp.where(pos, 0.0, con)
+    rank = jnp.argsort(jnp.argsort(-con_neg, axis=1), axis=1)  # 0 = hardest
+    num_neg = jnp.clip(neg_ratio * num_pos, 0, pos.shape[1] - 1)[:, None]
+    neg = rank < num_neg  # (B, N)
+
+    conf_loss = jnp.sum(con * (pos | neg), axis=1)  # (B,)
+
+    total = loc_loss + conf_loss
+    # average over positive count, zero where image has no positives
+    denom = jnp.maximum(num_pos, 1e-6)
+    per_image = total / denom
+    valid = num_pos > 0
+    return jnp.sum(per_image * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+@dataclass
+class SSDTask:
+    num_classes: int = 81
+    dtype: Any = jnp.bfloat16
+    dboxes: DefaultBoxes = field(default_factory=dboxes300_coco)
+
+    def __post_init__(self):
+        self.model = SSD300(self.num_classes, self.dtype)
+
+    def init(self, rng, image_size=300):
+        x = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+        variables = self.model.init(rng, x, train=False)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        return params, model_state
+
+    def loss_fn(self, params, model_state, batch, rng):
+        (loc, conf), mutated = self.model.apply(
+            {"params": params, **model_state}, batch["image"], train=True,
+            mutable=list(model_state.keys()) or False,
+        )
+        if not model_state:
+            mutated = {}
+        loss = multibox_loss(loc, conf, batch["loc_targets"], batch["cls_targets"])
+        return loss, (dict(mutated), {})
+
+    def predict_fn(self, params, model_state, images):
+        """Device-side decode: returns (boxes_ltrb (B,N,4), probs (B,N,C))."""
+        loc, conf = self.model.apply(
+            {"params": params, **model_state}, images, train=False
+        )
+        boxes = decode_batch(self.dboxes, loc)
+        probs = jax.nn.softmax(conf, axis=-1)
+        return boxes, probs

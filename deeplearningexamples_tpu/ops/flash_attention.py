@@ -1,0 +1,287 @@
+"""Fused multi-head attention (flash-style) Pallas TPU kernel.
+
+TPU-native replacement for the reference BERT's naive O(L^2) attention
+(``PyTorch/LanguageModeling/BERT/modeling.py:340-384``), which materializes
+the full ``(bsz, heads, seq, seq)`` score tensor in HBM (SURVEY.md §5.7).
+Here scores for one query block live only in VMEM: the kernel tiles queries
+over the grid, streams K/V per (batch, head), and fuses scale → mask →
+softmax → PV into a single pass. Accumulation is fp32 regardless of input
+dtype (MXU ``preferred_element_type``).
+
+Backward is a custom VJP: one Pallas kernel recomputes the probability block
+and produces dQ, and accumulates dK/dV across query blocks using the
+sequential-grid revisiting pattern (output block constant in the q-block
+grid dim).
+
+Supports key-padding masks (BERT) and causal masking (decoder-style).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "mha_reference"]
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def mha_reference(q, k, v, key_mask=None, causal=False, sm_scale=None):
+    """Pure-jnp reference (the role ``dot_based_interact_ops_test.py`` plays
+    for the reference's custom kernel — golden source for numeric tests)."""
+    *_, sq, d = q.shape
+    sk = k.shape[-2]
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s = s * scale
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :].astype(bool), s, NEG_INF)
+    if causal:
+        idx_q = jnp.arange(sq)[:, None]
+        idx_k = jnp.arange(sk)[None, :]
+        s = jnp.where(idx_q >= idx_k, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, block_q):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (S, D)
+    v = v_ref[0, 0].astype(jnp.float32)  # (S, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    if mask_ref is not None:
+        key_ok = mask_ref[0] != 0  # (1, S), broadcasts over rows
+        s = jnp.where(key_ok, s, NEG_INF)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(row >= col, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    # logsumexp residual for backward; (BQ, 1) lane-1 layout for TPU tiling
+    l_ref[0, 0] = m + jnp.log(l)
+
+
+def _fwd(q, k, v, key_mask, causal, scale, block_q):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq = min(block_q, sq)
+    grid = (b, h, pl.cdiv(sq, bq))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, sk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+        kernel = functools.partial(
+            _fwd_kernel, scale=scale, causal=causal, block_q=bq
+        )
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, l_ref):
+            _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, l_ref,
+                        scale=scale, causal=causal, block_q=bq)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, causal, block_q,
+):
+    qi = pl.program_id(2)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (BQ, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if mask_ref is not None:
+        key_ok = mask_ref[0] != 0
+        s = jnp.where(key_ok, s, NEG_INF)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(row >= col, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, S)
+
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, D)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, S)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (BQ, 1)
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, D)
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    # dk/dv accumulate across q blocks: output block fixed in qi, sequential grid
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] += dv.astype(dv_ref.dtype)
+
+
+def _bwd(causal, scale, block_q, res, g):
+    q, k, v, key_mask, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq = min(block_q, sq)
+    grid = (b, h, pl.cdiv(sq, bq))
+
+    def qspec():
+        return pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kspec():
+        return pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [qspec(), kspec(), kspec()]
+    args = [q, k, v]
+    has_mask = key_mask is not None
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((1, 1, sk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+    in_specs += [
+        qspec(),
+        pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        qspec(),
+    ]
+    args += [out, lse, g]
+
+    if has_mask:
+        kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal, block_q=bq)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref):
+            _bwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, do_ref,
+                        dq_ref, dk_ref, dv_ref, scale=scale, causal=causal, block_q=bq)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            qspec(),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, key_mask, causal, scale, block_q):
+    out, _ = _fwd(q, k, v, key_mask, causal, scale, block_q)
+    return out
+
+
+def _flash_fwd(q, k, v, key_mask, causal, scale, block_q):
+    out, lse = _fwd(q, k, v, key_mask, causal, scale, block_q)
+    return out, (q, k, v, key_mask, out, lse)
+
+
+def _flash_bwd(causal, scale, block_q, res, g):
+    return _bwd(causal, scale, block_q, res, g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None = None,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_q: int = 256,
+) -> jax.Array:
+    """Fused MHA. q,k,v: (batch, heads, seq, head_dim); key_mask: (batch, seq)
+    with 1 = attend. Returns (batch, heads, seq_q, head_dim) in q.dtype."""
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
+    return _flash(q, k, v, key_mask, causal, scale, block_q)

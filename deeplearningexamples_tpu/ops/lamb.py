@@ -1,0 +1,107 @@
+"""LAMB optimizer (NVLAMB semantics).
+
+TPU-native equivalent of the reference's fused multi-tensor CUDA LAMB
+(``PyTorch/LanguageModeling/BERT/lamb_amp_opt/csrc/multi_tensor_lamb.cu``,
+``fused_lamb.py`` — SURVEY.md §2.C row 1). The CUDA implementation exists to
+amortize kernel-launch overhead across hundreds of small tensors
+(``multi_tensor_apply.cuh``) and to keep fp16 master-weight copies in sync;
+on TPU neither problem exists: XLA compiles the whole optimizer update into
+a handful of fused loops over the flattened parameter buffers, and bf16
+training keeps fp32 params in the optimizer chain natively. What must be
+preserved is the *math*:
+
+    m = b1*m + (1-b1)*g          (bias-corrected)
+    v = b2*v + (1-b2)*g^2        (bias-corrected)
+    u = m_hat / (sqrt(v_hat) + eps) + wd * p
+    ratio = ||p|| / ||u||        (1.0 where either norm is 0)
+    p -= lr * ratio * u
+
+plus the reference's pre-step global-gradient-norm clipping
+(``multi_tensor_l2norm`` + grad_pre_div) which we implement with
+``optax.clip_by_global_norm`` (a single fused reduction under XLA).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["lamb"]
+
+
+class ScaleByLambState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def _scale_by_lamb(
+    b1: float, b2: float, eps: float, weight_decay: float, mask: Any | None
+) -> optax.GradientTransformation:
+    def init(params):
+        return ScaleByLambState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+            nu=jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, jnp.float32), params),
+        )
+
+    def update(grads, state, params):
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g.astype(jnp.float32), state.mu, grads
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * jnp.square(g.astype(jnp.float32)),
+            state.nu,
+            grads,
+        )
+        c1 = 1 - b1**count.astype(jnp.float32)
+        c2 = 1 - b2**count.astype(jnp.float32)
+
+        wd_tree = (
+            mask
+            if mask is not None
+            else jax.tree_util.tree_map(lambda _: True, params)
+        )
+
+        def upd(m, v, p, use_wd):
+            u = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            if weight_decay:
+                u = u + jnp.where(use_wd, weight_decay, 0.0) * p.astype(jnp.float32)
+            w_norm = jnp.linalg.norm(p.astype(jnp.float32))
+            u_norm = jnp.linalg.norm(u)
+            ratio = jnp.where(
+                (w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0
+            )
+            return (-ratio * u).astype(p.dtype)  # note: lr applied downstream
+
+        updates = jax.tree_util.tree_map(upd, mu, nu, params, wd_tree)
+        return updates, ScaleByLambState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def lamb(
+    learning_rate: float | Callable[[int], float],
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    mask: Any | None = None,
+    grad_clip_norm: float | None = 1.0,
+) -> optax.GradientTransformation:
+    """NVLAMB: global-norm grad clip → LAMB trust-ratio update → lr."""
+    chain = []
+    if grad_clip_norm:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(_scale_by_lamb(b1, b2, eps, weight_decay, mask))
+    # updates already carry the negative sign; scale by +lr
+    lr = learning_rate
+    if callable(lr):
+        chain.append(optax.scale_by_schedule(lambda c: lr(c)))
+    else:
+        chain.append(optax.scale(lr))
+    return optax.chain(*chain)

@@ -1,0 +1,85 @@
+"""Golden tests: Pallas flash attention vs pure-jnp reference (fwd + grads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplearningexamples_tpu.ops import flash_attention, mha_reference
+
+
+def make_qkv(b=2, h=4, s=128, d=64, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (b, h, s, d)
+    q = jnp.asarray(rng.normal(size=shape), dtype)
+    k = jnp.asarray(rng.normal(size=shape), dtype)
+    v = jnp.asarray(rng.normal(size=shape), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_reference(causal):
+    q, k, v = make_qkv()
+    out = flash_attention(q, k, v, causal=causal, block_q=64)
+    ref = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_forward_with_padding_mask():
+    q, k, v = make_qkv(b=2, s=128)
+    mask = np.ones((2, 128), np.int32)
+    mask[0, 100:] = 0
+    mask[1, 64:] = 0
+    mask = jnp.asarray(mask)
+    out = flash_attention(q, k, v, key_mask=mask, block_q=64)
+    ref = mha_reference(q, k, v, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_match_reference(causal):
+    q, k, v = make_qkv(b=1, h=2, s=64, d=64)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal, block_q=32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=causal) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_grads_with_mask():
+    q, k, v = make_qkv(b=2, h=2, s=64, d=64)
+    mask = np.ones((2, 64), np.int32)
+    mask[0, 48:] = 0
+    mask = jnp.asarray(mask)
+
+    g1 = jax.grad(lambda q: jnp.sum(flash_attention(q, k, v, key_mask=mask, block_q=32)))(q)
+    g2 = jax.grad(lambda q: jnp.sum(mha_reference(q, k, v, key_mask=mask)))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-4, rtol=5e-4)
+
+
+def test_bf16_forward_close():
+    q, k, v = make_qkv(dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v)
+    ref = mha_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_uneven_seq_blocks():
+    # seq not a multiple of block_q exercises the cdiv/padding path
+    q, k, v = make_qkv(b=1, h=1, s=96, d=64)
+    out = flash_attention(q, k, v, block_q=64)
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
