@@ -1,0 +1,135 @@
+"""DLRM tests: dot interaction vs oracle, AUC vs sklearn-style manual,
+training convergence, model-parallel sharded table."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplearningexamples_tpu.core.metrics import roc_auc
+from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+from deeplearningexamples_tpu.data import SyntheticDlrmLoader
+from deeplearningexamples_tpu.models.dlrm import Dlrm, DlrmConfig, DlrmTask, make_dlrm_optimizer
+from deeplearningexamples_tpu.ops.dot_interaction import (
+    dot_interaction,
+    dot_interaction_reference,
+    interaction_output_dim,
+)
+
+CARDS = (100, 50, 200, 30)
+CFG = DlrmConfig(
+    categorical_cardinalities=CARDS,
+    embedding_dim=32,
+    bottom_mlp=(64, 32),
+    top_mlp=(64, 32, 1),
+)
+
+
+def test_dot_interaction_matches_oracle():
+    rng = np.random.default_rng(0)
+    b, f, d = 8, 27, 128
+    bottom = rng.normal(size=(b, d)).astype(np.float32)
+    emb = rng.normal(size=(b, f - 1, d)).astype(np.float32)
+    out = dot_interaction(jnp.asarray(bottom), jnp.asarray(emb))
+    ref = dot_interaction_reference(bottom, emb)
+    assert out.shape == (b, interaction_output_dim(f, d))
+    assert out.shape[1] == 480  # reference DLRM layout: 128 + 351 + 1 pad
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_interaction_grads_flow():
+    rng = np.random.default_rng(0)
+    bottom = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(4, 3, 16)), jnp.float32)
+    g = jax.grad(lambda b, e: jnp.sum(dot_interaction(b, e) ** 2), argnums=(0, 1))(
+        bottom, emb
+    )
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    assert not np.allclose(np.asarray(g[0]), 0)
+
+
+def test_roc_auc_matches_manual():
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6, 0.5, 0.4])
+    labels = jnp.asarray([1.0, 1.0, 0.0, 1.0, 0.0, 0.0])
+    # manual: pairs (pos, neg) correctly ordered / total pairs
+    # pos scores {.9,.8,.6}, neg {.7,.5,.4}: correct pairs = 3+3+2=8 of 9
+    assert float(roc_auc(scores, labels)) == pytest.approx(8 / 9, abs=1e-6)
+    # degenerate: all one class -> finite
+    assert np.isfinite(float(roc_auc(scores, jnp.ones(6))))
+
+
+def test_dlrm_forward_and_training():
+    task = DlrmTask(CFG, dtype=jnp.float32)
+    params, mstate = task.init(jax.random.key(0))
+    assert params["embedding_table"].shape == (sum(CARDS), 32)
+    tx = make_dlrm_optimizer(params, mlp_lr=0.1, embedding_lr=0.1)
+    state = create_train_state(params, tx, jax.random.key(1), mstate)
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    loader = SyntheticDlrmLoader(64, list(CARDS), steps=15)
+    losses = []
+    for batch in loader:
+        state, m = step(state, jax.tree.map(jnp.asarray, batch))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]  # memorizes the fixed synthetic batch
+    metrics = task.metric_fn(state.params, state.model_state, jax.tree.map(jnp.asarray, batch))
+    assert 0.0 <= float(metrics["auc"]) <= 1.0
+
+
+def test_dual_optimizer_separate_lrs():
+    task = DlrmTask(CFG, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    tx = make_dlrm_optimizer(params, mlp_lr=0.0, embedding_lr=1.0)
+    state = create_train_state(params, tx, jax.random.key(1), {})
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    batch = next(iter(SyntheticDlrmLoader(32, list(CARDS), steps=1)))
+    state, _ = step(state, jax.tree.map(jnp.asarray, batch))
+    # mlp unchanged (lr 0), embedding rows moved
+    np.testing.assert_allclose(
+        np.asarray(state.params["bottom_mlp_0"]["kernel"]),
+        np.asarray(params["bottom_mlp_0"]["kernel"]),
+    )
+    assert not np.allclose(
+        np.asarray(state.params["embedding_table"]),
+        np.asarray(params["embedding_table"]),
+    )
+
+
+def test_dlrm_model_parallel_sharded_table():
+    """Joint table sharded over the model axis: same loss as replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deeplearningexamples_tpu.parallel import MeshSpec, build_mesh
+
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    task = DlrmTask(CFG, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    batch = next(iter(SyntheticDlrmLoader(32, list(CARDS), steps=1)))
+    batch = jax.tree.map(jnp.asarray, batch)
+    loss_plain, _ = jax.jit(task.loss_fn)(params, {}, batch, jax.random.key(0))
+
+    # shard: embedding rows over model axis, batch over data axis
+    sharded_params = dict(params)
+    sharded_params["embedding_table"] = jax.device_put(
+        params["embedding_table"], NamedSharding(mesh, P("model", None))
+    )
+    sharded_batch = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data", *[None] * (x.ndim - 1)))),
+        batch,
+    )
+    loss_sharded, _ = jax.jit(task.loss_fn)(
+        sharded_params, {}, sharded_batch, jax.random.key(0)
+    )
+    np.testing.assert_allclose(float(loss_plain), float(loss_sharded), rtol=1e-5)
+
+
+def test_hash_indices():
+    cfg = DlrmConfig(
+        categorical_cardinalities=CARDS, embedding_dim=32,
+        bottom_mlp=(64, 32), top_mlp=(32, 1), hash_indices=True,
+    )
+    task = DlrmTask(cfg, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    num = jnp.zeros((2, 13))
+    cat = jnp.full((2, 4), 10_000, jnp.int32)  # out of range -> hashed in range
+    logits = task.model.apply({"params": params}, num, cat)
+    assert np.isfinite(np.asarray(logits)).all()

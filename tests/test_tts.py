@@ -1,0 +1,177 @@
+"""TTS tests: audio frontend vs analytic cases, text frontend, Tacotron2
+teacher-forced + inference, WaveGlow invertibility + loss."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeplearningexamples_tpu.models.tts import (
+    MelConfig,
+    N_SYMBOLS,
+    Tacotron2Config,
+    Tacotron2Task,
+    WaveGlowConfig,
+    WaveGlowTask,
+    mel_filterbank,
+    mel_spectrogram,
+    text_to_sequence,
+    sequence_to_text,
+)
+
+TINY_T2 = Tacotron2Config(
+    symbols_embedding_dim=32, encoder_embedding_dim=32, n_mel_channels=16,
+    attention_rnn_dim=32, decoder_rnn_dim=32, prenet_dim=16, attention_dim=16,
+    attention_location_n_filters=4, attention_location_kernel_size=7,
+    postnet_embedding_dim=32, postnet_n_convolutions=3, max_decoder_steps=40,
+)
+TINY_WG = WaveGlowConfig(
+    n_mel_channels=16, n_flows=4, n_group=8, n_early_every=2, n_early_size=2,
+    wn_n_layers=2, wn_n_channels=32, segment_length=1024, hop_length=64,
+)
+
+
+# -- audio frontend ---------------------------------------------------------
+
+
+def test_symbols_count_matches_reference():
+    assert N_SYMBOLS == 148  # reference tacotron2/text/symbols.py inventory
+
+
+def test_text_roundtrip():
+    seq = text_to_sequence("Hello, world!")
+    assert len(seq) > 0
+    assert sequence_to_text(seq) == "hello, world!"
+    seq2 = text_to_sequence("say {HH AH0 L OW1}.")
+    assert sequence_to_text(seq2) == "say {HH}{AH0}{L}{OW1}."
+    # cleaner expands abbreviations
+    assert sequence_to_text(text_to_sequence("Dr. Smith")) == "doctor smith"
+
+
+def test_mel_filterbank_shape_and_coverage():
+    cfg = MelConfig()
+    fb = mel_filterbank(cfg)
+    assert fb.shape == (80, 513)
+    assert (fb >= 0).all()
+    # every mel filter has support
+    assert (fb.sum(axis=1) > 0).all()
+
+
+def test_mel_spectrogram_pure_tone():
+    cfg = MelConfig()
+    t = np.arange(22050) / cfg.sampling_rate
+    audio = 0.5 * np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    mel = mel_spectrogram(audio, cfg)
+    assert mel.shape[0] == 80
+    # energy concentrates near the mel bin containing 440 Hz
+    peak_bin = mel.mean(axis=1).argmax()
+    fb = mel_filterbank(cfg)
+    freqs = np.linspace(0, cfg.sampling_rate / 2, fb.shape[1])
+    center = freqs[fb[peak_bin].argmax()]
+    assert 300 < center < 600
+
+
+# -- Tacotron2 --------------------------------------------------------------
+
+
+def _t2_batch(b=2, t_text=11, t_mel=24, n_mel=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "text": jnp.asarray(rng.integers(1, 40, (b, t_text)), jnp.int32),
+        "text_lengths": jnp.asarray([t_text, t_text - 3], jnp.int32),
+        "mel": jnp.asarray(rng.normal(size=(b, t_mel, n_mel)), jnp.float32),
+        "mel_lengths": jnp.asarray([t_mel, t_mel - 5], jnp.int32),
+    }
+
+
+def test_tacotron2_teacher_forced_shapes_and_training():
+    import optax
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+
+    task = Tacotron2Task(TINY_T2, dtype=jnp.float32)
+    params, mstate = task.init(jax.random.key(0), text_len=11, mel_len=24)
+    tx = optax.adam(1e-2)
+    state = create_train_state(params, tx, jax.random.key(1), mstate)
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    batch = _t2_batch()
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    # prenet dropout is always on (reference quirk) so compare window means
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_tacotron2_infer_shapes():
+    task = Tacotron2Task(TINY_T2, dtype=jnp.float32)
+    params, mstate = task.init(jax.random.key(0), text_len=11, mel_len=24)
+    batch = _t2_batch()
+    mel, lengths, aligns = task.infer_fn(
+        params, mstate, batch["text"], batch["text_lengths"], max_steps=20
+    )
+    assert mel.shape == (2, 20, 16)
+    assert aligns.shape == (2, 20, 11)
+    assert (np.asarray(lengths) <= 20).all()
+    # attention rows are a distribution over text positions
+    np.testing.assert_allclose(
+        np.asarray(aligns.astype(jnp.float32)).sum(-1), 1.0, atol=1e-3
+    )
+
+
+# -- WaveGlow ---------------------------------------------------------------
+
+
+def test_waveglow_forward_and_loss_decreases():
+    import optax
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+
+    task = WaveGlowTask(TINY_WG, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t_mel = TINY_WG.segment_length // TINY_WG.hop_length + 1
+    batch = {
+        "audio": jnp.asarray(rng.normal(size=(2, 1024)) * 0.1, jnp.float32),
+        "mel": jnp.asarray(rng.normal(size=(2, t_mel, 16)), jnp.float32),
+    }
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx, jax.random.key(1), {})
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_waveglow_invertibility():
+    """fresh model (zero-init couplings): infer(forward(x)) structure holds —
+    run forward then manually invert using the same params via infer with the
+    forward z is not directly exposed, so check: forward of inferred audio
+    reproduces the injected noise (flows are exactly invertible)."""
+    task = WaveGlowTask(TINY_WG, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    t_mel = 16
+    mel = jnp.asarray(rng.normal(size=(1, t_mel, 16)), jnp.float32)
+    audio = task.infer_fn(params, mel, sigma=1.0, rng=jax.random.key(7))
+    t_groups = audio.shape[1] // TINY_WG.n_group
+    z, log_s, log_det = task.model.apply({"params": params}, audio, mel)
+    # z must be unit-gaussian-ish: it IS the injected noise, reconstructed
+    assert np.isfinite(np.asarray(z)).all()
+    assert abs(float(jnp.std(z)) - 1.0) < 0.15
+    assert np.isfinite(float(log_s)) and np.isfinite(float(log_det))
+
+
+def test_waveglow_logdet_matches_weights():
+    task = WaveGlowTask(TINY_WG, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    audio = jnp.zeros((1, 1024))
+    t_mel = TINY_WG.segment_length // TINY_WG.hop_length + 1
+    mel = jnp.zeros((1, t_mel, 16))
+    _, log_s, log_det = task.model.apply({"params": params}, audio, mel)
+    # zero-init end convs -> log_s == 0 on first forward
+    assert float(log_s) == 0.0
+    # orthogonal 1x1 weights -> |det| = 1 -> log_det == 0 (up to fp error)
+    assert abs(float(log_det)) < 1e-2
