@@ -1,0 +1,369 @@
+"""Unified training CLI — ``dlx-train <model> [flags]``.
+
+One entry point replaces the reference's per-recipe launchers (ConvNets
+``main.py``+``launch.py``+``multiproc.py``, SSD ``main.py``, BERT
+``run_pretraining.py``/``run_squad.py``, Tacotron2 ``train.py``, DLRM
+``dlrm/scripts/main.py``). Reference flag spellings are preserved where they
+map 1:1 (``--lr``, ``--batch-size``, ``--epochs``, ``--mode``,
+``--data-backend``, ``--prof``, ``--resume``, ``--seed``, ``--config-file``).
+
+There is no multiprocessing launcher: under SPMD one process per host drives
+all local chips, and multi-host bootstraps through
+``jax.distributed.initialize`` (``--coordinator`` / env). The ``--mode
+benchmark-training`` path mirrors the reference's benchmark modes
+(SSD ``main.py:75-76``, ConvNets ``benchmark_training_short``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config as cfgmod
+from ..core import optimizers as opt
+from ..core.checkpoint import CheckpointManager
+from ..core.logging import JSONStreamBackend, Logger, StdOutBackend
+from ..core.loop import LoopConfig, train_loop
+from ..core.train import create_train_state, make_eval_step, make_train_step
+from ..data import prefetch_to_device
+from ..parallel import MeshSpec, build_mesh
+
+__all__ = ["cli", "MODELS"]
+
+
+@dataclass
+class CommonConfig:
+    epochs: int = 1
+    batch_size: int = 32
+    lr: float = 0.1
+    weight_decay: float = 0.0
+    momentum: float = 0.9
+    warmup_epochs: int = 0
+    lr_schedule: str = "cosine"  # cosine | step | linear | constant
+    label_smoothing: float = 0.0
+    mixup: float = 0.0
+    seed: int = 0
+    prof: int = -1
+    mode: str = "train"  # train | benchmark-training | evaluate
+    data_backend: str = "synthetic"
+    data_dir: str = ""
+    workspace: str = "./workspace"
+    resume: bool = False
+    ema: float = 0.0  # 0 disables; reference EMA decay e.g. 0.9999
+    accum_steps: int = 1
+    steps_per_epoch: int = 100  # synthetic backend epoch length
+    mesh_data: int = -1
+    mesh_model: int = 1
+    amp: bool = True  # bf16 compute (reference AMP flag; bf16 needs no scaler)
+    early_stopping_patience: int = -1
+
+
+def _make_schedule(cfg: CommonConfig, steps_per_epoch: int):
+    if cfg.lr_schedule == "cosine":
+        return opt.lr_cosine_policy(cfg.lr, cfg.warmup_epochs, cfg.epochs, steps_per_epoch)
+    if cfg.lr_schedule == "linear":
+        return opt.lr_linear_policy(cfg.lr, cfg.warmup_epochs, cfg.epochs, steps_per_epoch)
+    if cfg.lr_schedule == "step":
+        return opt.lr_step_policy(
+            cfg.lr, [30, 60, 80], 0.1, cfg.warmup_epochs, steps_per_epoch
+        )
+    return lambda step: cfg.lr
+
+
+def _common_setup(cfg: CommonConfig, name: str):
+    mesh = build_mesh(MeshSpec(data=cfg.mesh_data, model=cfg.mesh_model))
+    logger = Logger(
+        backends=[
+            StdOutBackend(),
+            JSONStreamBackend(f"{cfg.workspace}/{name}_raport.json"),
+        ]
+        if jax.process_index() == 0
+        else [],
+        enabled=jax.process_index() == 0,
+    )
+    logger.parameters(cfgmod.to_dict(cfg))
+    return mesh, logger
+
+
+def _loop_cfg(cfg: CommonConfig, watch="val_loss", mode="min") -> LoopConfig:
+    bench = cfg.mode == "benchmark-training"
+    return LoopConfig(
+        epochs=cfg.epochs,
+        prof=cfg.prof if cfg.prof > 0 else (100 if bench else -1),
+        early_stop_patience=cfg.early_stopping_patience,
+        watch_metric=watch,
+        watch_mode=mode,
+        skip_final_eval=bench,
+    )
+
+
+def _dtype(cfg: CommonConfig):
+    return jnp.bfloat16 if cfg.amp else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# per-model runners
+# ---------------------------------------------------------------------------
+
+
+def run_convnet(arch: str, cfg: CommonConfig) -> None:
+    from ..data.synthetic import SyntheticImageLoader
+    from ..models.convnets import EFFNET_ARCHS, ClassificationTask, build_model
+
+    mesh, logger = _common_setup(cfg, arch)
+    image_size = (
+        EFFNET_ARCHS[arch].resolution if arch in EFFNET_ARCHS else 224
+    )
+    task = ClassificationTask(
+        build_model(arch, 1000, _dtype(cfg)),
+        label_smoothing=cfg.label_smoothing,
+        mixup_alpha=cfg.mixup,
+        num_classes=1000,
+    )
+    params, mstate = task.init(jax.random.key(cfg.seed), (image_size, image_size, 3))
+    if cfg.data_backend == "synthetic":
+        loader = SyntheticImageLoader(
+            cfg.batch_size, image_size, 1000, steps=cfg.steps_per_epoch
+        )
+        val_loader = SyntheticImageLoader(cfg.batch_size, image_size, 1000, steps=10)
+    else:
+        from ..data.imagenet import ImageNetLoader
+
+        loader = ImageNetLoader(cfg.data_dir, "train", cfg.batch_size, image_size)
+        val_loader = ImageNetLoader(cfg.data_dir, "val", cfg.batch_size, image_size)
+
+    sched = _make_schedule(cfg, len(loader))
+    tx = opt.sgd(sched, cfg.momentum, cfg.weight_decay, params_for_mask=params)
+    state = create_train_state(
+        params, tx, jax.random.key(cfg.seed + 1), mstate, ema=cfg.ema > 0
+    )
+    ckpt = CheckpointManager(f"{cfg.workspace}/{arch}_ckpt")
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+    train_step = make_train_step(
+        task.loss_fn, tx, accum_steps=cfg.accum_steps,
+        ema_decay=cfg.ema if cfg.ema > 0 else None,
+    )
+    eval_step = make_eval_step(task.metric_fn)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(loader, mesh),
+        cfg=_loop_cfg(cfg, watch="top1", mode="max"), logger=logger,
+        eval_step=eval_step, eval_iter_fn=lambda: prefetch_to_device(val_loader, mesh),
+        checkpoints=ckpt, batch_size=cfg.batch_size,
+    )
+
+
+def run_ssd(cfg: CommonConfig) -> None:
+    from ..data.ssd_synthetic import SyntheticSSDLoader
+    from ..models.ssd import SSDTask
+
+    mesh, logger = _common_setup(cfg, "ssd300")
+    task = SSDTask(dtype=_dtype(cfg))
+    params, mstate = task.init(jax.random.key(cfg.seed))
+    loader = SyntheticSSDLoader(cfg.batch_size, task.dboxes, steps=cfg.steps_per_epoch)
+    sched = _make_schedule(cfg, len(loader))
+    # tencent_trick: no WD on bias/BN (ssd/train.py:192) via params mask
+    tx = opt.sgd(sched, cfg.momentum, cfg.weight_decay, params_for_mask=params)
+    state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/ssd300_ckpt")
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(loader, mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size,
+    )
+
+
+@dataclass
+class DlrmCliConfig(CommonConfig):
+    num_tables: int = 26
+    cardinality: int = 100_000  # uniform synthetic cardinality per table
+    embedding_dim: int = 128
+
+
+@dataclass
+class BertCliConfig(CommonConfig):
+    bert_model: str = "large"
+    seq_len: int = 128
+    max_predictions: int = 20
+    remat: bool = False
+    phase2: bool = False
+
+
+def run_bert_pretrain(cfg: BertCliConfig) -> None:
+    import dataclasses as dc
+
+    from ..data.synthetic import SyntheticBertLoader
+    from ..models.bert import BERT_CONFIGS, BertPretrainTask
+    from ..ops.lamb import lamb
+
+    if cfg.phase2:
+        cfg.seq_len, cfg.max_predictions = 512, 76
+    mesh, logger = _common_setup(cfg, "bert_pretrain")
+    bcfg = dc.replace(BERT_CONFIGS[cfg.bert_model], remat=cfg.remat)
+    task = BertPretrainTask(bcfg, _dtype(cfg), max_predictions=cfg.max_predictions)
+    params, mstate = task.init(jax.random.key(cfg.seed), seq_len=cfg.seq_len)
+    loader = SyntheticBertLoader(
+        cfg.batch_size, cfg.seq_len, bcfg.vocab_size, cfg.max_predictions,
+        steps=cfg.steps_per_epoch,
+    )
+    total = cfg.epochs * len(loader)
+    sched = opt.lr_poly_warmup(cfg.lr, max(total // 100, 1), total)
+    tx = lamb(sched, weight_decay=cfg.weight_decay or 0.01)
+    state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/bert_ckpt")
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    eval_step = make_eval_step(task.metric_fn)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(loader, mesh),
+        cfg=_loop_cfg(cfg, watch="mlm_acc", mode="max"), logger=logger,
+        eval_step=eval_step,
+        eval_iter_fn=lambda: prefetch_to_device(
+            SyntheticBertLoader(cfg.batch_size, cfg.seq_len, bcfg.vocab_size,
+                                cfg.max_predictions, steps=5), mesh),
+        checkpoints=ckpt, batch_size=cfg.batch_size,
+    )
+
+
+def run_dlrm(cfg: DlrmCliConfig) -> None:
+    from ..data.synthetic import SyntheticDlrmLoader
+    from ..models.dlrm import DlrmConfig, DlrmTask, make_dlrm_optimizer
+
+    mesh, logger = _common_setup(cfg, "dlrm")
+    cards = tuple(int(c) for c in np.full(cfg.num_tables, cfg.cardinality))
+    task = DlrmTask(
+        DlrmConfig(
+            categorical_cardinalities=cards,
+            embedding_dim=cfg.embedding_dim,
+            bottom_mlp=(512, 256, cfg.embedding_dim),
+        ),
+        _dtype(cfg),
+    )
+    params, mstate = task.init(jax.random.key(cfg.seed))
+    tx = make_dlrm_optimizer(params, mlp_lr=cfg.lr, embedding_lr=cfg.lr)
+    state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+    loader = SyntheticDlrmLoader(cfg.batch_size, list(cards), steps=cfg.steps_per_epoch)
+    ckpt = CheckpointManager(f"{cfg.workspace}/dlrm_ckpt")
+    train_step = make_train_step(task.loss_fn, tx)
+    eval_step = make_eval_step(task.metric_fn)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(loader, mesh),
+        cfg=_loop_cfg(cfg, watch="auc", mode="max"), logger=logger,
+        eval_step=eval_step,
+        eval_iter_fn=lambda: prefetch_to_device(
+            SyntheticDlrmLoader(cfg.batch_size, list(cards), steps=5, seed=1), mesh),
+        checkpoints=ckpt, batch_size=cfg.batch_size,
+    )
+
+
+def run_tts(model_name: str, cfg: CommonConfig) -> None:
+    import optax
+
+    from ..data.tts_synthetic import SyntheticTacotronLoader, SyntheticWaveGlowLoader
+    from ..models.tts import Tacotron2Task, WaveGlowTask
+
+    mesh, logger = _common_setup(cfg, model_name)
+    if model_name == "tacotron2":
+        task = Tacotron2Task(dtype=_dtype(cfg))
+        loader = SyntheticTacotronLoader(cfg.batch_size, steps=cfg.steps_per_epoch)
+        params, mstate = task.init(jax.random.key(cfg.seed))
+    else:
+        task = WaveGlowTask(dtype=_dtype(cfg))
+        loader = SyntheticWaveGlowLoader(cfg.batch_size, steps=cfg.steps_per_epoch)
+        params, mstate = task.init(jax.random.key(cfg.seed))
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(cfg.lr or 1e-3)
+    )
+    state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/{model_name}_ckpt")
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(loader, mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size,
+    )
+
+
+MODELS = {
+    "resnet50": lambda cfg: run_convnet("resnet50", cfg),
+    "resnext101-32x4d": lambda cfg: run_convnet("resnext101-32x4d", cfg),
+    "se-resnext101-32x4d": lambda cfg: run_convnet("se-resnext101-32x4d", cfg),
+    "efficientnet-b0": lambda cfg: run_convnet("efficientnet-b0", cfg),
+    "efficientnet-b4": lambda cfg: run_convnet("efficientnet-b4", cfg),
+    "ssd300": run_ssd,
+    "bert-pretrain": run_bert_pretrain,
+    "dlrm": run_dlrm,
+    "tacotron2": lambda cfg: run_tts("tacotron2", cfg),
+    "waveglow": lambda cfg: run_tts("waveglow", cfg),
+}
+
+_CONFIG_CLS = {"bert-pretrain": BertCliConfig, "dlrm": DlrmCliConfig}
+
+ALIASES = {
+    "lr": "lr",
+    "batch-size": "batch_size",
+    "data-backend": "data_backend",
+    "label-smoothing": "label_smoothing",
+    "warmup": "warmup_epochs",
+}
+
+
+def cli(argv=None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser("dlx-train")
+    sub = parser.add_subparsers(dest="model", required=True)
+    for name in MODELS:
+        p = sub.add_parser(name)
+        cls = _CONFIG_CLS.get(name, CommonConfig)
+        for f in dataclasses.fields(cls):
+            flag = f.name.replace("_", "-")
+            p.add_argument(f"--{flag}", dest=f.name, default=None, type=str)
+        p.add_argument("--config-file", default=None)
+        p.add_argument("--platform", default=None)
+        p.add_argument("--precision", default=None)
+
+    ns = parser.parse_args(argv)
+    cls = _CONFIG_CLS.get(ns.model, CommonConfig)
+    cfg = cls()
+    if ns.config_file:
+        cfg = cfgmod.resolve(
+            cfg, yaml_path=ns.config_file,
+            precision=ns.precision, platform=ns.platform, model=ns.model,
+            mode=None,
+        )
+    overrides = {}
+    for f in dataclasses.fields(cls):
+        v = getattr(ns, f.name, None)
+        if v is None:
+            continue
+        parsed = cfgmod._parse_value(v) if isinstance(v, str) else v
+        want = f.type if isinstance(f.type, type) else {"int": int, "float": float,
+                                                        "bool": bool, "str": str}.get(str(f.type))
+        if want in (int, float) and not isinstance(parsed, (int, float)):
+            parser.error(f"--{f.name.replace('_', '-')} expects a {want.__name__}, "
+                         f"got {v!r}")
+        if want is float and isinstance(parsed, int):
+            parsed = float(parsed)
+        if want is bool and not isinstance(parsed, bool):
+            parser.error(f"--{f.name.replace('_', '-')} expects true/false, got {v!r}")
+        overrides[f.name] = parsed
+    cfg = cfgmod.merge(cfg, overrides)
+
+    import os
+
+    os.makedirs(cfg.workspace, exist_ok=True)
+    MODELS[ns.model](cfg)
+
+
+if __name__ == "__main__":
+    cli()

@@ -55,6 +55,9 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     remat: bool = False  # activation checkpointing over encoder layers
+    # remat_policy "full" recomputes everything; "dots" saves matmul outputs
+    # and recomputes only elementwise ops (jax checkpoint_policies)
+    remat_policy: str = "dots"
 
     @property
     def head_dim(self) -> int:
@@ -177,7 +180,11 @@ class BertModel(nn.Module):
         )
         layer_cls = BertLayer
         if cfg.remat:
-            layer_cls = nn.remat(BertLayer, static_argnums=(3,))
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if cfg.remat_policy == "dots" else None
+            )
+            layer_cls = nn.remat(BertLayer, static_argnums=(3,), policy=policy)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.dtype, name=f"layer_{i}")(
                 x, attention_mask, deterministic

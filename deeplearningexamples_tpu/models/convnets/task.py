@@ -46,6 +46,7 @@ class ClassificationTask:
         logits, mutated = self.model.apply(
             {"params": params, **model_state}, images, train=True,
             mutable=list(model_state.keys()) or False,
+            rngs={"dropout": rng},
         )
         if not model_state:
             mutated = {}
