@@ -1,0 +1,191 @@
+"""Model zoo entry points (the TorchHub API analogue).
+
+The reference exposes its models through a repo-root ``hubconf.py:1-31``
+(``nvidia_resnet50``, ``nvidia_ssd``, ``nvidia_tacotron2``, ``nvidia_waveglow``
+etc., with NGC checkpoint remapping in ``models/model.py:62-151``). Here the
+same surface is a plain registry: each entry builds the flax model and can
+initialize params, restore them from a model repository
+(``serving/export.py``), or import a reference torch checkpoint
+(``utils/torch_import.py``).
+
+    >>> from deeplearningexamples_tpu import hub
+    >>> model, params = hub.load("resnet50", pretrained="/path/to/model.pth.tar")
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["list_models", "create", "load"]
+
+_REGISTRY: dict[str, Callable[..., Any]] = {}
+
+
+def list_models() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def create(name: str, **kwargs):
+    """Build the model object (no params)."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: {list_models()}")
+    return _REGISTRY[name](**kwargs)
+
+
+def load(name: str, pretrained: str | None = None, seed: int = 0, **kwargs):
+    """Build model + params. ``pretrained`` may be a torch checkpoint path
+    (``.pt``/``.pth``/``.pth.tar``) or a model-repository directory."""
+    model = create(name, **kwargs)
+    init = _INIT[name]
+    variables = init(model, jax.random.key(seed))
+    if pretrained is None:
+        return model, variables
+    if pretrained.endswith((".pt", ".pth", ".pth.tar")):
+        conv = _TORCH_CONVERTERS.get(name)
+        if conv is None:
+            raise NotImplementedError(f"no torch converter for {name}")
+        return model, conv(model, pretrained)
+    from .serving.export import load_model_repository
+    import os
+
+    repo, model_name = os.path.split(pretrained.rstrip("/"))
+    params, _ = load_model_repository(repo, model_name)
+    return model, params
+
+
+# -- entries -----------------------------------------------------------------
+
+
+def _make_convnet_entry(arch):
+    def entry(num_classes: int = 1000, dtype=jnp.bfloat16):
+        from .models.convnets import build_model
+
+        return build_model(arch, num_classes, dtype)
+
+    return entry
+
+
+for _arch in ("resnet50", "resnext101-32x4d", "se-resnext101-32x4d",
+              "efficientnet-b0", "efficientnet-b4",
+              "efficientnet-widese-b0", "efficientnet-widese-b4"):
+    _REGISTRY[_arch] = _make_convnet_entry(_arch)
+
+
+def _ssd_entry(num_classes: int = 81, dtype=jnp.bfloat16):
+    from .models.ssd import SSD300
+
+    return SSD300(num_classes, dtype)
+
+
+def _bert_entry(size: str = "large", dtype=jnp.bfloat16):
+    from .models.bert import BERT_CONFIGS, BertModel
+
+    return BertModel(BERT_CONFIGS[size], dtype)
+
+
+def _tacotron2_entry(dtype=jnp.bfloat16):
+    from .models.tts import Tacotron2
+
+    return Tacotron2(dtype=dtype)
+
+
+def _waveglow_entry(dtype=jnp.bfloat16):
+    from .models.tts import WaveGlow
+
+    return WaveGlow(dtype=dtype)
+
+
+def _dlrm_entry(categorical_cardinalities=None, dtype=jnp.bfloat16):
+    from .models.dlrm import Dlrm, DlrmConfig
+
+    cards = tuple(categorical_cardinalities or [100_000] * 26)
+    return Dlrm(DlrmConfig(categorical_cardinalities=cards), dtype)
+
+
+_REGISTRY.update(
+    ssd300=_ssd_entry, bert=_bert_entry, tacotron2=_tacotron2_entry,
+    waveglow=_waveglow_entry, dlrm=_dlrm_entry,
+)
+
+
+# -- init fns ----------------------------------------------------------------
+
+
+def _img_init(size):
+    def init(model, rng):
+        return model.init(
+            {"params": rng, "dropout": jax.random.key(1)},
+            jnp.zeros((1, size, size, 3)), train=False,
+        )
+
+    return init
+
+
+def _bert_init(model, rng):
+    ids = jnp.zeros((1, 16), jnp.int32)
+    return model.init(rng, ids, ids, ids, deterministic=True)
+
+
+def _taco_init(model, rng):
+    return model.init(
+        {"params": rng, "dropout": jax.random.key(1)},
+        jnp.zeros((1, 16), jnp.int32), jnp.full((1,), 16, jnp.int32),
+        jnp.zeros((1, 20, 80)), jnp.full((1,), 20, jnp.int32),
+    )
+
+
+def _wg_init(model, rng):
+    t_mel = model.cfg.segment_length // model.cfg.hop_length + 1
+    return model.init(
+        rng, jnp.zeros((1, model.cfg.segment_length)),
+        jnp.zeros((1, t_mel, model.cfg.n_mel_channels)),
+    )
+
+
+def _dlrm_init(model, rng):
+    cfg = model.cfg
+    return model.init(
+        rng, jnp.zeros((1, cfg.num_numerical)),
+        jnp.zeros((1, len(cfg.categorical_cardinalities)), jnp.int32),
+    )
+
+
+_INIT: dict[str, Callable] = {
+    **{a: _img_init(380 if "b4" in a else 224) for a in (
+        "resnet50", "resnext101-32x4d", "se-resnext101-32x4d",
+        "efficientnet-b0", "efficientnet-b4",
+        "efficientnet-widese-b0", "efficientnet-widese-b4")},
+    "ssd300": _img_init(300),
+    "bert": _bert_init,
+    "tacotron2": _taco_init,
+    "waveglow": _wg_init,
+    "dlrm": _dlrm_init,
+}
+
+
+# -- torch converters --------------------------------------------------------
+
+
+def _convert_resnet50(model, path):
+    from .utils.torch_import import convert_resnet50, load_torch_state_dict
+
+    params, stats = convert_resnet50(load_torch_state_dict(path))
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_bert(model, path):
+    from .utils.torch_import import convert_bert, load_torch_state_dict
+
+    params = convert_bert(
+        load_torch_state_dict(path), model.cfg.padded_vocab, model.cfg.num_layers
+    )
+    return {"params": params}
+
+
+_TORCH_CONVERTERS: dict[str, Callable] = {
+    "resnet50": _convert_resnet50,
+    "bert": _convert_bert,
+}

@@ -55,6 +55,7 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     remat: bool = False  # activation checkpointing over encoder layers
+    gelu_approximate: bool = False  # exact erf GELU matches reference/HF
     # remat_policy "full" recomputes everything; "dots" saves matmul outputs
     # and recomputes only elementwise ops (jax checkpoint_policies)
     remat_policy: str = "dots"
@@ -147,9 +148,9 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="attention_ln")(x + attn)
         # LinearActivation fused bias+GELU (reference modeling.py:130) — XLA
-        # fuses the bias+gelu epilogue; tanh-approx GELU matches reference.
+        # fuses the bias+gelu epilogue into the matmul on its own.
         y = _dense(cfg.intermediate_size, cfg, dtype=self.dtype, name="intermediate")(x)
-        y = nn.gelu(y, approximate=True)
+        y = nn.gelu(y, approximate=cfg.gelu_approximate)
         y = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="ffn_output")(y)
         y = nn.Dropout(cfg.hidden_dropout)(y, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
@@ -220,7 +221,7 @@ class BertForPreTraining(nn.Module):
             )  # (B, P, H)
         # MLM transform
         t = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="mlm_transform")(seq)
-        t = nn.gelu(t, approximate=True)
+        t = nn.gelu(t, approximate=cfg.gelu_approximate)
         t = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="mlm_ln")(t)
         # tied decoder — bf16 matmul, fp32 accumulation/logits
