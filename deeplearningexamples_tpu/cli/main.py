@@ -166,7 +166,16 @@ def run_ssd(cfg: CommonConfig) -> None:
     mesh, logger = _common_setup(cfg, "ssd300")
     task = SSDTask(dtype=_dtype(cfg))
     params, mstate = task.init(jax.random.key(cfg.seed))
-    loader = SyntheticSSDLoader(cfg.batch_size, task.dboxes, steps=cfg.steps_per_epoch)
+    if cfg.data_backend == "coco":
+        from ..data.coco import CocoDetectionDataset, CocoSSDLoader
+
+        ds = CocoDetectionDataset(
+            f"{cfg.data_dir}/train2017",
+            f"{cfg.data_dir}/annotations/instances_train2017.json",
+        )
+        loader = CocoSSDLoader(ds, cfg.batch_size, task.dboxes)
+    else:
+        loader = SyntheticSSDLoader(cfg.batch_size, task.dboxes, steps=cfg.steps_per_epoch)
     sched = _make_schedule(cfg, len(loader))
     # tencent_trick: no WD on bias/BN (ssd/train.py:192) via params mask
     tx = opt.sgd(sched, cfg.momentum, cfg.weight_decay, params_for_mask=params)
@@ -235,12 +244,83 @@ def run_bert_pretrain(cfg: BertCliConfig) -> None:
     )
 
 
+@dataclass
+class SquadCliConfig(CommonConfig):
+    bert_model: str = "large"
+    max_seq_length: int = 384
+    doc_stride: int = 128
+    vocab_file: str = ""
+    train_file: str = ""
+    init_checkpoint: str = ""  # torch BERT checkpoint to fine-tune from
+
+
+def run_bert_squad(cfg: SquadCliConfig) -> None:
+    import optax
+
+    from ..models.bert import BERT_CONFIGS, BertSquadTask
+
+    mesh, logger = _common_setup(cfg, "bert_squad")
+    task = BertSquadTask(BERT_CONFIGS[cfg.bert_model], _dtype(cfg))
+    params, mstate = task.init(jax.random.key(cfg.seed), seq_len=cfg.max_seq_length)
+    if cfg.init_checkpoint:
+        from ..utils.torch_import import convert_bert, load_torch_state_dict
+
+        bert_params = convert_bert(
+            load_torch_state_dict(cfg.init_checkpoint),
+            task.cfg.padded_vocab, task.cfg.num_layers,
+        )
+        params = dict(params)
+        params["bert"] = bert_params
+    if cfg.train_file and cfg.vocab_file:
+        from ..data.squad import (
+            SquadLoader, convert_examples_to_features, read_squad_examples,
+        )
+        from ..data.tokenization import BertTokenizer
+
+        tok = BertTokenizer(cfg.vocab_file)
+        feats = convert_examples_to_features(
+            read_squad_examples(cfg.train_file), tok,
+            cfg.max_seq_length, cfg.doc_stride,
+        )
+        loader = SquadLoader(feats, cfg.batch_size, seed=cfg.seed)
+    else:  # synthetic features (benchmark mode)
+        import numpy as _np
+
+        rng = _np.random.default_rng(cfg.seed)
+        fixed = {
+            "input_ids": rng.integers(1, 30000, (cfg.batch_size, cfg.max_seq_length)).astype(_np.int32),
+            "attention_mask": _np.ones((cfg.batch_size, cfg.max_seq_length), _np.int32),
+            "token_type_ids": _np.zeros((cfg.batch_size, cfg.max_seq_length), _np.int32),
+            "start_positions": rng.integers(0, cfg.max_seq_length, cfg.batch_size).astype(_np.int32),
+            "end_positions": rng.integers(0, cfg.max_seq_length, cfg.batch_size).astype(_np.int32),
+        }
+        loader = [fixed] * cfg.steps_per_epoch
+    total = cfg.epochs * len(loader)
+    sched = opt.lr_poly_warmup(cfg.lr or 3e-5, int(total * 0.1), total, power=1.0)
+    tx = optax.adamw(sched, weight_decay=0.01)
+    state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/bert_squad_ckpt")
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size,
+    )
+
+
 def run_dlrm(cfg: DlrmCliConfig) -> None:
     from ..data.synthetic import SyntheticDlrmLoader
     from ..models.dlrm import DlrmConfig, DlrmTask, make_dlrm_optimizer
 
     mesh, logger = _common_setup(cfg, "dlrm")
-    cards = tuple(int(c) for c in np.full(cfg.num_tables, cfg.cardinality))
+    if cfg.data_backend == "binary":
+        from ..data.criteo import CriteoBinaryDataset, FeatureSpec
+
+        spec = FeatureSpec.from_yaml(f"{cfg.data_dir}/feature_spec.yaml")
+        cards = tuple(spec.categorical_cardinalities)
+    else:
+        spec = None
+        cards = tuple(int(c) for c in np.full(cfg.num_tables, cfg.cardinality))
     task = DlrmTask(
         DlrmConfig(
             categorical_cardinalities=cards,
@@ -252,7 +332,10 @@ def run_dlrm(cfg: DlrmCliConfig) -> None:
     params, mstate = task.init(jax.random.key(cfg.seed))
     tx = make_dlrm_optimizer(params, mlp_lr=cfg.lr, embedding_lr=cfg.lr)
     state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
-    loader = SyntheticDlrmLoader(cfg.batch_size, list(cards), steps=cfg.steps_per_epoch)
+    if spec is not None:
+        loader = CriteoBinaryDataset(cfg.data_dir, spec, cfg.batch_size)
+    else:
+        loader = SyntheticDlrmLoader(cfg.batch_size, list(cards), steps=cfg.steps_per_epoch)
     ckpt = CheckpointManager(f"{cfg.workspace}/dlrm_ckpt")
     train_step = make_train_step(task.loss_fn, tx)
     eval_step = make_eval_step(task.metric_fn)
@@ -273,13 +356,28 @@ def run_tts(model_name: str, cfg: CommonConfig) -> None:
     from ..models.tts import Tacotron2Task, WaveGlowTask
 
     mesh, logger = _common_setup(cfg, model_name)
+    lj = None
+    if cfg.data_backend == "ljspeech":
+        from ..data.ljspeech import LJSpeechDataset
+
+        lj = LJSpeechDataset(cfg.data_dir)
     if model_name == "tacotron2":
         task = Tacotron2Task(dtype=_dtype(cfg))
-        loader = SyntheticTacotronLoader(cfg.batch_size, steps=cfg.steps_per_epoch)
+        if lj is not None:
+            from ..data.ljspeech import TacotronLoader
+
+            loader = TacotronLoader(lj, cfg.batch_size)
+        else:
+            loader = SyntheticTacotronLoader(cfg.batch_size, steps=cfg.steps_per_epoch)
         params, mstate = task.init(jax.random.key(cfg.seed))
     else:
         task = WaveGlowTask(dtype=_dtype(cfg))
-        loader = SyntheticWaveGlowLoader(cfg.batch_size, steps=cfg.steps_per_epoch)
+        if lj is not None:
+            from ..data.ljspeech import WaveGlowLoader
+
+            loader = WaveGlowLoader(lj, cfg.batch_size)
+        else:
+            loader = SyntheticWaveGlowLoader(cfg.batch_size, steps=cfg.steps_per_epoch)
         params, mstate = task.init(jax.random.key(cfg.seed))
     tx = optax.chain(
         optax.clip_by_global_norm(1.0), optax.adam(cfg.lr or 1e-3)
@@ -302,12 +400,14 @@ MODELS = {
     "efficientnet-b4": lambda cfg: run_convnet("efficientnet-b4", cfg),
     "ssd300": run_ssd,
     "bert-pretrain": run_bert_pretrain,
+    "bert-squad": run_bert_squad,
     "dlrm": run_dlrm,
     "tacotron2": lambda cfg: run_tts("tacotron2", cfg),
     "waveglow": lambda cfg: run_tts("waveglow", cfg),
 }
 
-_CONFIG_CLS = {"bert-pretrain": BertCliConfig, "dlrm": DlrmCliConfig}
+_CONFIG_CLS = {"bert-pretrain": BertCliConfig, "dlrm": DlrmCliConfig,
+               "bert-squad": SquadCliConfig}
 
 ALIASES = {
     "lr": "lr",
