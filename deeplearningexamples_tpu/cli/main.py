@@ -392,6 +392,62 @@ def run_tts(model_name: str, cfg: CommonConfig) -> None:
     )
 
 
+def run_transformer(cfg: CommonConfig) -> None:
+    import optax
+
+    from ..models.translation import TransformerConfig, TransformerTask
+
+    mesh, logger = _common_setup(cfg, "transformer")
+    tcfg = TransformerConfig()
+    task = TransformerTask(tcfg, _dtype(cfg))
+    params, mstate = task.init(jax.random.key(cfg.seed))
+    rng = np.random.default_rng(cfg.seed)
+    src = rng.integers(3, tcfg.vocab_size, (cfg.batch_size, 64)).astype(np.int32)
+    tgt = np.concatenate(
+        [np.full((cfg.batch_size, 1), tcfg.bos_id), src[:, :62],
+         np.full((cfg.batch_size, 1), tcfg.eos_id)], axis=1,
+    ).astype(np.int32)
+    loader = [{"src": src, "tgt": tgt}] * cfg.steps_per_epoch
+    total = cfg.epochs * len(loader)
+    sched = opt.lr_poly_warmup(cfg.lr or 5e-4, max(total // 20, 1), total, power=0.5)
+    tx = optax.adamw(sched, b1=0.9, b2=0.997, weight_decay=0.0)
+    state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/transformer_ckpt")
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size,
+    )
+
+
+def run_ncf(cfg: CommonConfig) -> None:
+    import optax
+
+    from ..models.ncf import NcfConfig, NcfTask
+
+    mesh, logger = _common_setup(cfg, "ncf")
+    ncfg = NcfConfig()
+    task = NcfTask(ncfg, _dtype(cfg))
+    params, mstate = task.init(jax.random.key(cfg.seed))
+    rng = np.random.default_rng(cfg.seed)
+    bs = cfg.batch_size
+    loader = [{
+        "user": rng.integers(0, ncfg.nb_users, bs).astype(np.int32),
+        "item": rng.integers(0, ncfg.nb_items, bs).astype(np.int32),
+        "label": rng.integers(0, 2, bs).astype(np.float32),
+    }] * cfg.steps_per_epoch
+    tx = optax.adam(cfg.lr or 2.5e-3)
+    state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/ncf_ckpt")
+    train_step = make_train_step(task.loss_fn, tx)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size,
+    )
+
+
 MODELS = {
     "resnet50": lambda cfg: run_convnet("resnet50", cfg),
     "resnext101-32x4d": lambda cfg: run_convnet("resnext101-32x4d", cfg),
@@ -402,6 +458,8 @@ MODELS = {
     "bert-pretrain": run_bert_pretrain,
     "bert-squad": run_bert_squad,
     "dlrm": run_dlrm,
+    "transformer": run_transformer,
+    "ncf": run_ncf,
     "tacotron2": lambda cfg: run_tts("tacotron2", cfg),
     "waveglow": lambda cfg: run_tts("waveglow", cfg),
 }

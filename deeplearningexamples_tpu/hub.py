@@ -105,9 +105,22 @@ def _dlrm_entry(categorical_cardinalities=None, dtype=jnp.bfloat16):
     return Dlrm(DlrmConfig(categorical_cardinalities=cards), dtype)
 
 
+def _transformer_entry(dtype=jnp.bfloat16):
+    from .models.translation import Transformer
+
+    return Transformer(dtype=dtype)
+
+
+def _ncf_entry(dtype=jnp.bfloat16):
+    from .models.ncf import NcfConfig, NeuMF
+
+    return NeuMF(NcfConfig(), dtype)
+
+
 _REGISTRY.update(
     ssd300=_ssd_entry, bert=_bert_entry, tacotron2=_tacotron2_entry,
     waveglow=_waveglow_entry, dlrm=_dlrm_entry,
+    transformer=_transformer_entry, ncf=_ncf_entry,
 )
 
 
@@ -145,6 +158,16 @@ def _wg_init(model, rng):
     )
 
 
+def _transformer_init(model, rng):
+    ids = jnp.full((1, 8), model.cfg.pad_id, jnp.int32)
+    return model.init({"params": rng, "dropout": jax.random.key(1)}, ids, ids)
+
+
+def _ncf_init(model, rng):
+    u = jnp.zeros((1,), jnp.int32)
+    return model.init({"params": rng, "dropout": jax.random.key(1)}, u, u)
+
+
 def _dlrm_init(model, rng):
     cfg = model.cfg
     return model.init(
@@ -163,6 +186,8 @@ _INIT: dict[str, Callable] = {
     "tacotron2": _taco_init,
     "waveglow": _wg_init,
     "dlrm": _dlrm_init,
+    "transformer": _transformer_init,
+    "ncf": _ncf_init,
 }
 
 

@@ -1,0 +1,2 @@
+from .beam_search import beam_search
+from .transformer import Transformer, TransformerConfig, TransformerTask

@@ -1,0 +1,79 @@
+"""Beam search decoding (jit-compatible, static shapes).
+
+The role of fairseq's ``SequenceGenerator`` in the reference Transformer and
+GNMT recipes: length-normalized beam search with EOS handling. Implemented
+as a ``lax.fori_loop`` over a static step budget with a (batch, beam) state;
+each step re-runs the decoder over the padded prefix (causal mask makes this
+correct; a KV-cache variant is the planned serving optimization).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["beam_search"]
+
+NEG = -1e9
+
+
+def beam_search(
+    decode_logits: Callable[[jax.Array], jax.Array],
+    batch_size: int,
+    beam_size: int = 4,
+    max_len: int = 64,
+    bos_id: int = 0,
+    eos_id: int = 2,
+    pad_id: int = 1,
+    length_penalty: float = 0.6,
+):
+    """``decode_logits(tgt_ids (B*beam, L)) -> (B*beam, L, V)``: full-prefix
+    causal decoder (the encoder memory is closed over, pre-tiled to B*beam).
+    Returns (sequences (B, beam, L), scores (B, beam)) sorted best-first."""
+    bb = batch_size * beam_size
+
+    seqs = jnp.full((bb, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    # only beam 0 live initially (identical prefixes must not be double-counted)
+    scores = jnp.tile(
+        jnp.asarray([0.0] + [NEG] * (beam_size - 1)), (batch_size,)
+    )
+    finished = jnp.zeros((bb,), bool)
+
+    def step(t, carry):
+        seqs, scores, finished = carry
+        logits = decode_logits(seqs)  # (bb, L, V)
+        logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        # finished beams: only "pad" continuation at no cost
+        cont = jnp.where(finished[:, None], NEG, logp)
+        cont = jnp.where(
+            finished[:, None] & (jnp.arange(v)[None, :] == pad_id), 0.0, cont
+        )
+        cand = scores[:, None] + cont  # (bb, V)
+        cand = cand.reshape(batch_size, beam_size * v)
+        top_scores, top_idx = jax.lax.top_k(cand, beam_size)  # (B, beam)
+        beam_src = top_idx // v  # which beam it came from
+        token = top_idx % v
+
+        flat_src = (
+            beam_src + jnp.arange(batch_size)[:, None] * beam_size
+        ).reshape(-1)
+        new_seqs = seqs[flat_src].at[:, t].set(token.reshape(-1))
+        new_finished = finished[flat_src] | (token.reshape(-1) == eos_id)
+        return new_seqs, top_scores.reshape(-1), new_finished
+
+    seqs, scores, finished = jax.lax.fori_loop(
+        1, max_len, step, (seqs, scores, finished)
+    )
+
+    # length-normalized final scores ((5+len)/6)^alpha, GNMT-style
+    lengths = jnp.sum((seqs != pad_id), axis=1).astype(jnp.float32)
+    norm = ((5.0 + lengths) / 6.0) ** length_penalty
+    final = (scores / norm).reshape(batch_size, beam_size)
+    order = jnp.argsort(-final, axis=1)
+    seqs = seqs.reshape(batch_size, beam_size, max_len)
+    seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
+    final = jnp.take_along_axis(final, order, axis=1)
+    return seqs, final

@@ -1,0 +1,191 @@
+"""Transformer for neural machine translation.
+
+Breadth recipe (reference ``PyTorch/Translation/Transformer`` — fairseq
+transformer_wmt_en_de: 6+6 layers, d=1024/dff=4096/h=16 "big" or 512/2048/8
+"base", sinusoidal positions, shared source/target embeddings, label-smoothed
+CE 0.1). The reference's CUDA ``strided_batched_gemm`` is the MXU's native
+job; attention uses the Pallas flash kernel (causal for the decoder).
+Beam-search decoding lives in ``beam_search.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...ops import flash_attention
+
+__all__ = ["TransformerConfig", "Transformer", "TransformerTask"]
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 33712  # joint BPE vocab, padded at embed to %128
+    d_model: int = 512
+    d_ff: int = 2048
+    num_heads: int = 8
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    dropout: float = 0.1
+    max_len: int = 256
+    label_smoothing: float = 0.1
+    pad_id: int = 1
+    bos_id: int = 0
+    eos_id: int = 2
+
+    @property
+    def padded_vocab(self) -> int:
+        return ((self.vocab_size + 127) // 128) * 128
+
+
+def sinusoidal_positions(max_len: int, d: int) -> np.ndarray:
+    pos = np.arange(max_len)[:, None]
+    div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
+    out = np.zeros((max_len, d), np.float32)
+    out[:, 0::2] = np.sin(pos * div)
+    out[:, 1::2] = np.cos(pos * div)
+    return out
+
+
+class MHA(nn.Module):
+    cfg: TransformerConfig
+    causal: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, kv_mask, deterministic):
+        cfg = self.cfg
+        h = cfg.num_heads
+        hd = cfg.d_model // h
+        b, sq, _ = q_in.shape
+        sk = kv_in.shape[1]
+        q = nn.Dense(cfg.d_model, dtype=self.dtype, name="q")(q_in)
+        k = nn.Dense(cfg.d_model, dtype=self.dtype, name="k")(kv_in)
+        v = nn.Dense(cfg.d_model, dtype=self.dtype, name="v")(kv_in)
+        heads = lambda t, s: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        ctx = flash_attention(
+            heads(q, sq), heads(k, sk), heads(v, sk),
+            key_mask=kv_mask, causal=self.causal,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, cfg.d_model)
+        out = nn.Dense(cfg.d_model, dtype=self.dtype, name="out")(ctx)
+        return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+
+class Block(nn.Module):
+    """Post-LN transformer block; optional cross-attention."""
+
+    cfg: TransformerConfig
+    causal: bool
+    cross: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, x_mask, memory, memory_mask, deterministic):
+        cfg = self.cfg
+        a = MHA(cfg, self.causal, self.dtype, name="self_attn")(
+            x, x, x_mask, deterministic
+        )
+        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + a)
+        if self.cross:
+            c = MHA(cfg, False, self.dtype, name="cross_attn")(
+                x, memory, memory_mask, deterministic
+            )
+            x = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(x + c)
+        y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(cfg.d_model, dtype=self.dtype, name="ff2")(y)
+        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + y)
+
+
+class Transformer(nn.Module):
+    cfg: TransformerConfig = TransformerConfig()
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed = nn.Embed(
+            cfg.padded_vocab, cfg.d_model,
+            embedding_init=nn.initializers.normal(cfg.d_model**-0.5),
+            dtype=self.dtype,
+        )
+        self.pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model))
+        self.enc_layers = [
+            Block(cfg, False, False, self.dtype, name=f"enc_{i}")
+            for i in range(cfg.encoder_layers)
+        ]
+        self.dec_layers = [
+            Block(cfg, True, True, self.dtype, name=f"dec_{i}")
+            for i in range(cfg.decoder_layers)
+        ]
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def _embed(self, ids, deterministic):
+        cfg = self.cfg
+        x = self.embed(ids) * jnp.asarray(cfg.d_model**0.5, self.dtype)
+        x = x + self.pos[None, : ids.shape[1]].astype(self.dtype)
+        return self.drop(x, deterministic=deterministic)
+
+    def encode(self, src_ids, deterministic: bool = True):
+        mask = (src_ids != self.cfg.pad_id).astype(jnp.int32)
+        x = self._embed(src_ids, deterministic)
+        for layer in self.enc_layers:
+            x = layer(x, mask, None, None, deterministic)
+        return x, mask
+
+    def decode(self, tgt_ids, memory, memory_mask, deterministic: bool = True):
+        x = self._embed(tgt_ids, deterministic)
+        tgt_mask = (tgt_ids != self.cfg.pad_id).astype(jnp.int32)
+        for layer in self.dec_layers:
+            x = layer(x, tgt_mask, memory, memory_mask, deterministic)
+        # tied output projection
+        logits = jax.lax.dot_general(
+            x, self.embed.embedding.astype(self.dtype),
+            (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return logits
+
+    def __call__(self, src_ids, tgt_in, deterministic: bool = True):
+        memory, memory_mask = self.encode(src_ids, deterministic)
+        return self.decode(tgt_in, memory, memory_mask, deterministic)
+
+
+@dataclass
+class TransformerTask:
+    cfg: TransformerConfig = TransformerConfig()
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        self.model = Transformer(self.cfg, self.dtype)
+
+    def init(self, rng, seq=16, batch=2):
+        ids = jnp.full((batch, seq), self.cfg.pad_id, jnp.int32)
+        return self.model.init(rng, ids, ids)["params"], {}
+
+    def loss_fn(self, params, model_state, batch, rng):
+        """batch: src (B,S), tgt (B,T) — tgt includes BOS...EOS; teacher
+        forcing shifts internally; pads are excluded from the loss."""
+        cfg = self.cfg
+        tgt_in = batch["tgt"][:, :-1]
+        tgt_out = batch["tgt"][:, 1:]
+        logits = self.model.apply(
+            {"params": params}, batch["src"], tgt_in,
+            deterministic=False, rngs={"dropout": rng},
+        )
+        valid = (tgt_out != cfg.pad_id).astype(jnp.float32)
+        num_classes = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt_out[..., None], axis=-1)[..., 0]
+        smooth = -jnp.mean(logp, axis=-1)
+        ls = cfg.label_smoothing
+        ce = (1.0 - ls) * nll + ls * smooth
+        loss = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return loss, (model_state, {})

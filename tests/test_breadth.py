@@ -1,0 +1,90 @@
+"""Breadth components: NCF, AutoAugment, SSD eval driver."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deeplearningexamples_tpu.models.ncf import NcfConfig, NcfTask, hit_rate_ndcg
+
+
+def test_ncf_train_and_rank():
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+
+    cfg = NcfConfig(nb_users=50, nb_items=40, mf_dim=8,
+                    mlp_layer_sizes=(16, 16, 8))
+    task = NcfTask(cfg, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    tx = optax.adam(1e-2)
+    state = create_train_state(params, tx, jax.random.key(1))
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    rng = np.random.default_rng(0)
+    # positives: user i likes item i % 40
+    users = np.arange(50, dtype=np.int32)
+    batch = {
+        "user": jnp.asarray(np.concatenate([users, users])),
+        "item": jnp.asarray(np.concatenate([users % 40, (users + 7) % 40]).astype(np.int32)),
+        "label": jnp.asarray(np.concatenate([np.ones(50), np.zeros(50)]).astype(np.float32)),
+    }
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8
+
+    eval_batch = {
+        "user": jnp.asarray(users),
+        "pos_item": jnp.asarray((users % 40).astype(np.int32)),
+        "neg_items": jnp.asarray(rng.integers(0, 40, (50, 20)).astype(np.int32)),
+    }
+    metrics = task.metric_fn(state.params, {}, eval_batch)
+    assert 0 <= float(metrics["hr@10"]) <= 1
+    assert float(metrics["ndcg@10"]) <= float(metrics["hr@10"]) + 1e-6
+
+
+def test_hit_rate_ndcg_exact():
+    # positive score 5 vs negatives [9, 1, 1]: rank 1 -> in top10, ndcg 1/log2(3)
+    scores = jnp.asarray([[5.0, 9.0, 1.0, 1.0]])
+    hr, ndcg = hit_rate_ndcg(scores, k=10)
+    assert float(hr) == 1.0
+    assert float(ndcg) == pytest.approx(1 / np.log2(3))
+    hr1, _ = hit_rate_ndcg(scores, k=1)
+    assert float(hr1) == 0.0
+
+
+def test_autoaugment_produces_valid_images():
+    import random
+
+    from PIL import Image
+
+    from deeplearningexamples_tpu.data.autoaugment import AutoAugmentImageNetPolicy
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    policy = AutoAugmentImageNetPolicy(random.Random(0))
+    changed = False
+    for _ in range(10):
+        out = policy(img)
+        assert out.size == img.size and out.mode == "RGB"
+        if np.any(np.asarray(out) != np.asarray(img)):
+            changed = True
+    assert changed
+
+
+def test_ssd_eval_driver():
+    from deeplearningexamples_tpu.models.ssd import SSDTask
+    from deeplearningexamples_tpu.models.ssd.evaluate import evaluate_ssd
+
+    task = SSDTask(num_classes=4, dtype=jnp.float32)
+    params, mstate = task.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    gt_boxes = np.asarray([[0.2, 0.2, 0.5, 0.5]], np.float32)
+    batches = [{
+        "image": jnp.asarray(rng.normal(size=(1, 300, 300, 3)), jnp.float32),
+        "gt": [(0, gt_boxes, np.asarray([1]))],
+    }]
+    res = evaluate_ssd(task, params, mstate, batches, score_thresh=0.9)
+    assert set(res) == {"mAP", "mAP50"}
+    assert 0.0 <= res["mAP"] <= 1.0
