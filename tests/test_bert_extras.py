@@ -1,0 +1,126 @@
+"""GLUE task, distillation, profiling utilities."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from deeplearningexamples_tpu.models.bert import BertConfig
+from deeplearningexamples_tpu.models.bert.distillation import DistillationTask
+from deeplearningexamples_tpu.models.bert.glue import (
+    GlueTask,
+    convert_pair_features,
+    matthews_corrcoef,
+    read_tsv,
+)
+from deeplearningexamples_tpu.data.tokenization import BertTokenizer
+from deeplearningexamples_tpu.utils.profiling import StepTimer
+
+VOCAB = {t: i for i, t in enumerate(
+    ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+     "good", "bad", "movie", "great", "terrible", "a", "the"]
+)}
+
+TINY = BertConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                  intermediate_size=64, max_position_embeddings=64)
+
+
+def test_glue_features_and_training(tmp_path):
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text(
+        "sentence\tlabel\n"
+        "a good movie\t1\n"
+        "a terrible movie\t0\n"
+        "the great movie\t1\n"
+        "the bad movie\t0\n"
+    )
+    rows = read_tsv(str(tsv), text_a_col=0, text_b_col=None, label_col=1)
+    assert len(rows) == 4
+    tok = BertTokenizer(VOCAB)
+    feats = convert_pair_features(rows, tok, max_seq_length=16)
+    assert feats["input_ids"].shape == (4, 16)
+    assert feats["token_type_ids"].max() == 0  # single sentence
+
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+
+    task = GlueTask(TINY, num_labels=2, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0), seq_len=16)
+    tx = optax.adam(5e-3)
+    state = create_train_state(params, tx, jax.random.key(1))
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    batch = jax.tree.map(jnp.asarray, feats)
+    for _ in range(25):
+        state, m = step(state, batch)
+    metrics = task.metric_fn(state.params, {}, batch)
+    assert float(metrics["accuracy"]) == 1.0  # memorizes 4 examples
+
+
+def test_pair_truncation():
+    tok = BertTokenizer(VOCAB)
+    rows = [("good " * 20, "bad " * 20, 1)]
+    feats = convert_pair_features(rows, tok, max_seq_length=16)
+    assert feats["input_ids"].shape == (1, 16)
+    assert feats["token_type_ids"][0].max() == 1  # pair retained
+
+
+def test_matthews():
+    assert matthews_corrcoef(np.asarray([1, 0, 1, 0]), np.asarray([1, 0, 1, 0])) == 1.0
+    assert matthews_corrcoef(np.asarray([0, 1, 0, 1]), np.asarray([1, 0, 1, 0])) == -1.0
+
+
+def test_distillation_reduces_hidden_gap():
+    teacher_cfg = BertConfig(vocab_size=64, hidden_size=32, num_layers=4,
+                             num_heads=2, intermediate_size=64,
+                             max_position_embeddings=32, hidden_dropout=0.0)
+    student_cfg = BertConfig(vocab_size=64, hidden_size=16, num_layers=2,
+                             num_heads=2, intermediate_size=32,
+                             max_position_embeddings=32, hidden_dropout=0.0)
+    task = DistillationTask(teacher_cfg, student_cfg, dtype=jnp.float32)
+    assert task.layer_map == [(0, 1), (1, 3)]
+
+    ids = jnp.zeros((2, 16), jnp.int32)
+    teacher_params = task.teacher.init(jax.random.key(0), ids, ids, ids)["params"]
+    params, _ = task.init(jax.random.key(1), teacher_params, seq_len=16)
+    assert "distill_proj" in params
+
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+
+    loss_fn = task.loss_fn(teacher_params)
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx, jax.random.key(2))
+    step = make_train_step(loss_fn, tx, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(5, 60, (4, 16)), jnp.int32),
+        "attention_mask": jnp.ones((4, 16), jnp.int32),
+        "token_type_ids": jnp.zeros((4, 16), jnp.int32),
+    }
+    losses = []
+    for _ in range(15):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_task_distill_loss():
+    s = jnp.asarray([[2.0, 0.0], [0.0, 2.0]])
+    t = jnp.asarray([[3.0, 0.0], [0.0, 3.0]])
+    y = jnp.asarray([0, 1])
+    l_aligned = DistillationTask.task_distill_loss(s, t, y)
+    l_opposed = DistillationTask.task_distill_loss(s, -t, y)
+    assert float(l_aligned) < float(l_opposed)
+
+
+def test_step_timer():
+    import time
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        time.sleep(0.01)
+        t.stop()
+    s = t.summary(batch_size=8)
+    assert 5 < s["mean_ms"] < 100
+    assert s["ips"] > 0
