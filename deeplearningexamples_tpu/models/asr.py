@@ -1,0 +1,154 @@
+"""Jasper/QuartzNet-style CTC ASR.
+
+Breadth recipes (reference ``PyTorch/SpeechRecognition/{Jasper,QuartzNet}``):
+stacked 1D-conv blocks with dense residual connections, BN + ReLU + dropout,
+trained with CTC over mel-filterbank features. QuartzNet is the same
+topology with depthwise-separable convs (``separable=True``). Greedy CTC
+decoding included; the reference's DALI audio pipeline maps to the
+``models/tts/audio.py`` mel frontend.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["JasperConfig", "Jasper", "JasperTask", "greedy_ctc_decode"]
+
+
+@dataclass(frozen=True)
+class JasperBlock:
+    repeats: int
+    channels: int
+    kernel: int
+    dropout: float = 0.2
+    residual: bool = True
+    separable: bool = False
+    stride: int = 1
+    dilation: int = 1
+
+
+@dataclass(frozen=True)
+class JasperConfig:
+    """Jasper 5x3 by default; the published 10x5 doubles ``repeats_per_block``."""
+
+    n_mels: int = 64
+    vocab_size: int = 29  # blank + a-z + space + apostrophe
+    blocks: tuple[JasperBlock, ...] = (
+        JasperBlock(1, 256, 11, 0.2, residual=False, stride=2),
+        JasperBlock(3, 256, 11),
+        JasperBlock(3, 384, 13),
+        JasperBlock(3, 512, 17),
+        JasperBlock(3, 640, 21, 0.3),
+        JasperBlock(3, 768, 25, 0.3),
+        JasperBlock(1, 896, 29, 0.4, residual=False, dilation=2),
+        JasperBlock(1, 1024, 1, 0.4, residual=False),
+    )
+
+
+class ConvBnRelu(nn.Module):
+    ch: int
+    kernel: int
+    stride: int
+    dilation: int
+    separable: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train):
+        if self.separable:
+            x = nn.Conv(x.shape[-1], (self.kernel,), strides=(self.stride,),
+                        kernel_dilation=(self.dilation,),
+                        feature_group_count=x.shape[-1], use_bias=False,
+                        dtype=self.dtype, name="dw")(x)
+            x = nn.Conv(self.ch, (1,), use_bias=False, dtype=self.dtype,
+                        name="pw")(x)
+        else:
+            x = nn.Conv(self.ch, (self.kernel,), strides=(self.stride,),
+                        kernel_dilation=(self.dilation,), use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return x
+
+
+class Jasper(nn.Module):
+    cfg: JasperConfig = JasperConfig()
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        """feats (B, T, n_mels) -> log-probs (B, T', vocab)."""
+        x = feats.astype(self.dtype)
+        for bi, blk in enumerate(self.cfg.blocks):
+            residual = x
+            for r in range(blk.repeats):
+                x = ConvBnRelu(blk.channels, blk.kernel,
+                               blk.stride if r == 0 else 1, blk.dilation,
+                               blk.separable, self.dtype,
+                               name=f"b{bi}_{r}")(x, train)
+                last = r == blk.repeats - 1
+                if not (last and blk.residual):
+                    x = nn.relu(x)
+                    x = nn.Dropout(blk.dropout)(x, deterministic=not train)
+            if blk.residual and residual.shape == x.shape:
+                res = ConvBnRelu(blk.channels, 1, 1, 1, False, self.dtype,
+                                 name=f"b{bi}_res")(residual, train)
+                x = nn.relu(x + res)
+                x = nn.Dropout(blk.dropout)(x, deterministic=not train)
+        logits = nn.Conv(self.cfg.vocab_size, (1,), dtype=jnp.float32,
+                         name="head")(x.astype(jnp.float32))
+        return jax.nn.log_softmax(logits, axis=-1)
+
+
+def greedy_ctc_decode(log_probs: np.ndarray, blank: int = 0) -> list[list[int]]:
+    """Collapse repeats, drop blanks (reference greedy decoder)."""
+    out = []
+    for seq in np.argmax(log_probs, axis=-1):
+        toks, prev = [], -1
+        for t in seq:
+            if t != prev and t != blank:
+                toks.append(int(t))
+            prev = t
+        out.append(toks)
+    return out
+
+
+@dataclass
+class JasperTask:
+    cfg: JasperConfig = JasperConfig()
+    dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        self.model = Jasper(self.cfg, self.dtype)
+
+    def init(self, rng, t=64, batch=2):
+        x = jnp.zeros((batch, t, self.cfg.n_mels))
+        variables = self.model.init(rng, x, train=False)
+        params = variables["params"]
+        return params, {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(self, params, model_state, batch, rng):
+        """batch: feats (B,T,M), feat_paddings (B,T) 1=pad,
+        labels (B,L), label_paddings (B,L) 1=pad."""
+        logp, mutated = self.model.apply(
+            {"params": params, **model_state}, batch["feats"], train=True,
+            mutable=list(model_state.keys()) or False,
+            rngs={"dropout": rng},
+        )
+        if not model_state:
+            mutated = {}
+        # time axis subsampled by stride 2 in block 0
+        t_out = logp.shape[1]
+        pad = batch["feat_paddings"][:, ::2][:, :t_out]
+        loss = jnp.mean(
+            optax.ctc_loss(logp, pad.astype(jnp.float32),
+                           batch["labels"], batch["label_paddings"].astype(jnp.float32))
+        )
+        return loss, (dict(mutated), {})

@@ -88,3 +88,50 @@ def test_ssd_eval_driver():
     res = evaluate_ssd(task, params, mstate, batches, score_thresh=0.9)
     assert set(res) == {"mAP", "mAP50"}
     assert 0.0 <= res["mAP"] <= 1.0
+
+
+def test_jasper_ctc_trains():
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.asr import (
+        JasperBlock, JasperConfig, JasperTask, greedy_ctc_decode,
+    )
+
+    cfg = JasperConfig(
+        n_mels=16, vocab_size=6,
+        blocks=(
+            JasperBlock(1, 32, 7, 0.0, residual=False, stride=2),
+            JasperBlock(2, 32, 7, 0.0),
+            JasperBlock(1, 48, 1, 0.0, residual=False),
+        ),
+    )
+    task = JasperTask(cfg, dtype=jnp.float32)
+    params, mstate = task.init(jax.random.key(0), t=32)
+    tx = optax.adam(3e-3)
+    state = create_train_state(params, tx, jax.random.key(1), mstate)
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "feats": jnp.asarray(rng.normal(size=(2, 32, 16)), jnp.float32),
+        "feat_paddings": jnp.zeros((2, 32)),
+        "labels": jnp.asarray([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32),
+        "label_paddings": jnp.asarray([[0, 0, 0, 1], [0, 0, 1, 1]], jnp.float32),
+    }
+    losses = []
+    for _ in range(40):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5
+
+    logp = task.model.apply({"params": state.params, **state.model_state},
+                            batch["feats"], train=False)
+    decoded = greedy_ctc_decode(np.asarray(logp))
+    assert decoded[0][:3] == [1, 2, 3]  # memorized transcript
+
+
+def test_greedy_ctc_decode_collapses():
+    from deeplearningexamples_tpu.models.asr import greedy_ctc_decode
+
+    lp = np.full((1, 6, 4), -10.0)
+    for t, tok in enumerate([1, 1, 0, 2, 2, 3]):
+        lp[0, t, tok] = 0.0
+    assert greedy_ctc_decode(lp) == [[1, 2, 3]]

@@ -89,3 +89,26 @@ def test_beam_search_eos_and_shapes():
             if len(eos_pos):
                 assert (row[eos_pos[0] + 1 :] == 1).all()
     assert np.isfinite(np.asarray(scores[:, 0])).all()
+
+
+def test_gnmt_trains_copy_task():
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.translation import GnmtConfig, GnmtTask
+
+    cfg = GnmtConfig(vocab_size=40, hidden_size=32, num_layers=4)
+    task = GnmtTask(cfg, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    tx = optax.adam(3e-3)
+    state = create_train_state(params, tx, jax.random.key(1))
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    rng = np.random.default_rng(0)
+    src = rng.integers(4, 40, (4, 6)).astype(np.int32)
+    tgt = np.concatenate(
+        [np.full((4, 1), cfg.bos_id), src, np.full((4, 1), cfg.eos_id)], axis=1
+    ).astype(np.int32)
+    batch = {"src": jnp.asarray(src), "tgt": jnp.asarray(tgt)}
+    losses = []
+    for _ in range(40):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.6
