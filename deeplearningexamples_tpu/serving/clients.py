@@ -20,16 +20,26 @@ import numpy as np
 __all__ = ["http_infer", "offline_performance_test", "online_performance_test"]
 
 
-def http_infer(addr: tuple[str, int], model: str, inputs: dict) -> dict:
-    body = json.dumps(
-        {"inputs": {k: np.asarray(v).tolist() for k, v in inputs.items()}}
-    ).encode()
+def http_infer(addr: tuple[str, int], model: str, inputs: dict,
+               binary: bool = False) -> dict:
+    from .binary import CONTENT_TYPE as BINARY_CT, decode_tensors, encode_tensors
+
+    if binary:
+        body = encode_tensors({k: np.asarray(v) for k, v in inputs.items()})
+        ctype = BINARY_CT
+    else:
+        body = json.dumps(
+            {"inputs": {k: np.asarray(v).tolist() for k, v in inputs.items()}}
+        ).encode()
+        ctype = "application/json"
     req = urllib.request.Request(
         f"http://{addr[0]}:{addr[1]}/v2/models/{model}/infer",
         data=body,
-        headers={"Content-Type": "application/json"},
+        headers={"Content-Type": ctype},
     )
     with urllib.request.urlopen(req, timeout=120) as resp:
+        if resp.headers.get("Content-Type") == BINARY_CT:
+            return {"outputs": decode_tensors(resp.read())}
         return json.loads(resp.read())
 
 

@@ -24,6 +24,7 @@ from typing import Any, Callable, Mapping
 import numpy as np
 
 from .batcher import ContinuousBatcher
+from .binary import CONTENT_TYPE as BINARY_CT, decode_tensors, encode_tensors
 
 __all__ = ["ModelEndpoint", "InferenceServer"]
 
@@ -85,6 +86,14 @@ class InferenceServer:
                     return
                 self._send(404, {"error": "not found"})
 
+            def _send_binary(self, tensors) -> None:
+                body = encode_tensors(tensors)
+                self.send_response(200)
+                self.send_header("Content-Type", BINARY_CT)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):
                 parts = self.path.split("/")
                 if len(parts) < 5 or parts[4] != "infer":
@@ -97,12 +106,17 @@ class InferenceServer:
                     return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(length) or b"{}")
+                    body = self.rfile.read(length)
+                    is_binary = self.headers.get("Content-Type") == BINARY_CT
+                    raw = (
+                        decode_tensors(body) if is_binary
+                        else json.loads(body or b"{}").get("inputs", {})
+                    )
                     inputs = {}
                     for k, (shape, dtype) in ep.input_spec.items():
-                        if k not in req.get("inputs", {}):
+                        if k not in raw:
                             raise ValueError(f"missing input {k!r}")
-                        arr = np.asarray(req["inputs"][k], dtype)
+                        arr = np.asarray(raw[k], dtype)
                         if tuple(arr.shape) != tuple(shape):
                             raise ValueError(
                                 f"input {k!r}: expected shape {tuple(shape)}, "
@@ -112,10 +126,13 @@ class InferenceServer:
                     payload = ep.preprocess(inputs) if ep.preprocess else inputs
                     out = ep.batcher.infer(payload, timeout=60)
                     out = ep.postprocess(out) if ep.postprocess else out
-                    out = {
-                        k: np.asarray(v).tolist() for k, v in dict(out).items()
-                    }
-                    self._send(200, {"outputs": out})
+                    out = {k: np.asarray(v) for k, v in dict(out).items()}
+                    if is_binary:
+                        self._send_binary(out)
+                    else:
+                        self._send(
+                            200, {"outputs": {k: v.tolist() for k, v in out.items()}}
+                        )
                 except ValueError as e:
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001

@@ -132,3 +132,21 @@ def test_model_repository_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(params["w"]))
     assert config["metadata"]["arch"] == "toy"
     assert config["inputs"]["x"]["dtype"] == "float32"
+
+
+def test_binary_tensor_roundtrip():
+    from deeplearningexamples_tpu.serving import decode_tensors, encode_tensors
+
+    t = {"x": np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32),
+         "ids": np.arange(5, dtype=np.int32)}
+    back = decode_tensors(encode_tensors(t))
+    for k in t:
+        np.testing.assert_array_equal(back[k], t[k])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tensors(encode_tensors(t)[:10])
+
+
+def test_http_binary_infer(server):
+    out = http_infer(server.addr, "doubler", {"x": np.asarray([1.0, 2.0, 3.0], np.float32)},
+                     binary=True)
+    np.testing.assert_allclose(out["outputs"]["y"], [2.0, 4.0, 6.0])

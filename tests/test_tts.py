@@ -175,3 +175,92 @@ def test_waveglow_logdet_matches_weights():
     assert float(log_s) == 0.0
     # orthogonal 1x1 weights -> |det| = 1 -> log_det == 0 (up to fp error)
     assert abs(float(log_det)) < 1e-2
+
+
+def test_hifigan_gan_training_step():
+    import optax
+    from deeplearningexamples_tpu.models.tts import HiFiGanConfig, HiFiGanTask
+
+    cfg = HiFiGanConfig(
+        n_mels=16, upsample_rates=(4, 4), upsample_kernels=(8, 8),
+        upsample_initial_channel=32, resblock_kernels=(3,),
+        resblock_dilations=((1, 3),), periods=(2, 3),
+        segment_length=1024, hop_length=16,
+    )
+    task = HiFiGanTask(cfg, dtype=jnp.float32, mel_loss_weight=1.0)
+    g_params, d_params = task.init(jax.random.key(0))
+    g_tx, d_tx = optax.adam(2e-4), optax.adam(2e-4)
+    g_opt, d_opt = g_tx.init(g_params), d_tx.init(d_params)
+    g_step, d_step = task.make_steps(g_tx, d_tx)
+
+    rng = np.random.default_rng(0)
+    t_mel = cfg.segment_length // cfg.hop_length
+    batch = {
+        "mel": jnp.asarray(rng.normal(size=(2, t_mel, 16)), jnp.float32),
+        "audio": jnp.asarray(0.3 * np.sin(np.linspace(0, 200, 1024))[None]
+                             * np.ones((2, 1)), jnp.float32),
+    }
+    # generator output covers the full segment
+    audio = task.gen.apply({"params": g_params}, batch["mel"])
+    assert audio.shape == (2, cfg.segment_length)
+    assert np.abs(np.asarray(audio)).max() <= 1.0
+
+    d_losses, g_losses = [], []
+    for _ in range(4):
+        d_params, d_opt, dl = d_step(d_params, d_opt, g_params, batch)
+        g_params, g_opt, gl, aux = g_step(g_params, g_opt, d_params, batch)
+        d_losses.append(float(dl))
+        g_losses.append(float(gl))
+    assert all(np.isfinite(d_losses)) and all(np.isfinite(g_losses))
+    assert d_losses[-1] < d_losses[0]  # D learns to separate real/fake
+    assert float(aux["mel_l1"]) > 0
+
+
+def test_length_regulate_exact():
+    from deeplearningexamples_tpu.models.tts import length_regulate
+
+    x = jnp.asarray(np.arange(1, 4, dtype=np.float32)[None, :, None])  # tokens 1,2,3
+    dur = jnp.asarray([[2, 1, 3]])
+    out, mask = length_regulate(x, dur, max_len=8)
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, 0]), [1, 1, 2, 3, 3, 3, 0, 0]
+    )
+    assert np.asarray(mask[0]).tolist() == [True] * 6 + [False] * 2
+
+
+def test_fastpitch_trains_and_infers():
+    import optax
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.tts import FastPitchConfig, FastPitchTask
+
+    cfg = FastPitchConfig(
+        n_symbols=40, d_model=32, encoder_layers=2, decoder_layers=2,
+        conv_filters=64, n_mels=8, max_mel_len=64, head_dim=16,
+    )
+    task = FastPitchTask(cfg, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    tx = optax.adam(2e-3)
+    state = create_train_state(params, tx, jax.random.key(1))
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    rng = np.random.default_rng(0)
+    text = rng.integers(1, 40, (2, 10)).astype(np.int32)
+    dur = rng.integers(1, 4, (2, 10)).astype(np.int32)
+    mel_len = int(dur.sum(1).max())
+    batch = {
+        "text": jnp.asarray(text),
+        "durations": jnp.asarray(dur),
+        "pitch": jnp.asarray(rng.normal(size=(2, 10)), jnp.float32),
+        "mel": jnp.asarray(rng.normal(size=(2, mel_len, 8)), jnp.float32),
+    }
+    losses = []
+    for _ in range(15):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+    mel, mel_lens = task.model.apply(
+        {"params": state.params}, jnp.asarray(text),
+        method=task.model.infer,
+    )
+    assert mel.shape == (2, cfg.max_mel_len, 8)
+    assert (np.asarray(mel_lens) >= 0).all()
