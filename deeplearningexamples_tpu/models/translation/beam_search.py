@@ -77,3 +77,80 @@ def beam_search(
     seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
     final = jnp.take_along_axis(final, order, axis=1)
     return seqs, final
+
+
+def beam_search_cached(
+    model,
+    params,
+    memory: jax.Array,  # (B*beam, S, D) — pre-tiled encoder output
+    memory_mask: jax.Array,
+    batch_size: int,
+    beam_size: int = 4,
+    max_len: int = 64,
+    bos_id: int = 0,
+    eos_id: int = 2,
+    pad_id: int = 1,
+    length_penalty: float = 0.6,
+):
+    """KV-cached beam search over ``Transformer.decode_step``: O(L) decoder
+    work per step instead of the full-prefix O(L^2) of ``beam_search``.
+    The flax "cache" collection rides in the loop carry and is gathered
+    along the batch axis when beams reorder."""
+    if max_len > model.cfg.max_len:
+        raise ValueError(
+            f"max_len={max_len} exceeds the model's KV-cache capacity "
+            f"(cfg.max_len={model.cfg.max_len}); dynamic_update_slice would "
+            "silently clamp at the last slot"
+        )
+    bb = batch_size * beam_size
+
+    # initialize cache by tracing one step shape
+    _, cache = model.apply(
+        {"params": params}, jnp.full((bb,), bos_id, jnp.int32), 0,
+        memory, memory_mask, method=model.decode_step, mutable=["cache"],
+    )
+    cache = jax.tree_util.tree_map(jnp.zeros_like, cache)
+
+    seqs = jnp.full((bb, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    scores = jnp.tile(jnp.asarray([0.0] + [NEG] * (beam_size - 1)), (batch_size,))
+    finished = jnp.zeros((bb,), bool)
+
+    def step(t, carry):
+        seqs, scores, finished, cache = carry
+        logits, new_cache = model.apply(
+            {"params": params, **cache}, seqs[:, t - 1], t - 1,
+            memory, memory_mask, method=model.decode_step, mutable=["cache"],
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        cont = jnp.where(finished[:, None], NEG, logp)
+        cont = jnp.where(
+            finished[:, None] & (jnp.arange(v)[None, :] == pad_id), 0.0, cont
+        )
+        cand = (scores[:, None] + cont).reshape(batch_size, beam_size * v)
+        top_scores, top_idx = jax.lax.top_k(cand, beam_size)
+        beam_src = top_idx // v
+        token = top_idx % v
+        flat_src = (
+            beam_src + jnp.arange(batch_size)[:, None] * beam_size
+        ).reshape(-1)
+        new_seqs = seqs[flat_src].at[:, t].set(token.reshape(-1))
+        new_finished = finished[flat_src] | (token.reshape(-1) == eos_id)
+        # reorder the cache to follow surviving beams
+        new_cache = jax.tree_util.tree_map(
+            lambda x: x[flat_src] if x.ndim > 0 and x.shape[0] == bb else x,
+            new_cache,
+        )
+        return new_seqs, top_scores.reshape(-1), new_finished, new_cache
+
+    seqs, scores, finished, _ = jax.lax.fori_loop(
+        1, max_len, step, (seqs, scores, finished, cache)
+    )
+    lengths = jnp.sum((seqs != pad_id), axis=1).astype(jnp.float32)
+    norm = ((5.0 + lengths) / 6.0) ** length_penalty
+    final = (scores / norm).reshape(batch_size, beam_size)
+    order = jnp.argsort(-final, axis=1)
+    seqs = seqs.reshape(batch_size, beam_size, max_len)
+    seqs = jnp.take_along_axis(seqs, order[:, :, None], axis=1)
+    final = jnp.take_along_axis(final, order, axis=1)
+    return seqs, final

@@ -59,7 +59,7 @@ class MHA(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, q_in, kv_in, kv_mask, deterministic):
+    def __call__(self, q_in, kv_in, kv_mask, deterministic, decode: bool = False):
         cfg = self.cfg
         h = cfg.num_heads
         hd = cfg.d_model // h
@@ -68,12 +68,36 @@ class MHA(nn.Module):
         q = nn.Dense(cfg.d_model, dtype=self.dtype, name="q")(q_in)
         k = nn.Dense(cfg.d_model, dtype=self.dtype, name="k")(kv_in)
         v = nn.Dense(cfg.d_model, dtype=self.dtype, name="v")(kv_in)
-        heads = lambda t, s: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        ctx = flash_attention(
-            heads(q, sq), heads(k, sk), heads(v, sk),
-            key_mask=kv_mask, causal=self.causal,
-        )
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, cfg.d_model)
+
+        if decode and self.causal:
+            # incremental decoding: one query token; K/V appended to a cache
+            # (flax "cache" collection) and attended with plain jnp attention
+            # — a single-row matmul doesn't need the flash kernel.
+            max_len = cfg.max_len
+            ck = self.variable("cache", "cached_k", jnp.zeros,
+                               (b, max_len, cfg.d_model), self.dtype)
+            cv = self.variable("cache", "cached_v", jnp.zeros,
+                               (b, max_len, cfg.d_model), self.dtype)
+            idx = self.variable("cache", "cache_idx", lambda: jnp.zeros((), jnp.int32))
+            pos = idx.value
+            ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, pos, 0))
+            cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, pos, 0))
+            idx.value = pos + 1
+            kh = ck.value.reshape(b, max_len, h, hd)
+            vh = cv.value.reshape(b, max_len, h, hd)
+            qh = q.reshape(b, 1, h, hd)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(hd)
+            valid = (jnp.arange(max_len)[None, :] <= pos).astype(scores.dtype)
+            scores = jnp.where(valid[:, None, None, :] > 0, scores, -1e9)
+            w = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(self.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, 1, cfg.d_model)
+        else:
+            heads = lambda t, s: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+            ctx = flash_attention(
+                heads(q, sq), heads(k, sk), heads(v, sk),
+                key_mask=kv_mask, causal=self.causal,
+            )
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, cfg.d_model)
         out = nn.Dense(cfg.d_model, dtype=self.dtype, name="out")(ctx)
         return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
@@ -87,10 +111,11 @@ class Block(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, x_mask, memory, memory_mask, deterministic):
+    def __call__(self, x, x_mask, memory, memory_mask, deterministic,
+                 decode: bool = False):
         cfg = self.cfg
         a = MHA(cfg, self.causal, self.dtype, name="self_attn")(
-            x, x, x_mask, deterministic
+            x, x, x_mask, deterministic, decode=decode
         )
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + a)
         if self.cross:
@@ -152,6 +177,21 @@ class Transformer(nn.Module):
             (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
         return logits
+
+    def decode_step(self, token, pos, memory, memory_mask):
+        """Incremental decode: token (B,) at position pos -> logits (B, V).
+        Requires a mutable "cache" collection (see ``beam_search_cached``)."""
+        cfg = self.cfg
+        x = self.embed(token[:, None]) * jnp.asarray(cfg.d_model**0.5, self.dtype)
+        x = x + jax.lax.dynamic_slice_in_dim(self.pos, pos, 1)[None].astype(self.dtype)
+        ones = jnp.ones((x.shape[0], 1), jnp.int32)
+        for layer in self.dec_layers:
+            x = layer(x, ones, memory, memory_mask, True, decode=True)
+        logits = jax.lax.dot_general(
+            x, self.embed.embedding.astype(self.dtype),
+            (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return logits[:, 0]
 
     def __call__(self, src_ids, tgt_in, deterministic: bool = True):
         memory, memory_mask = self.encode(src_ids, deterministic)

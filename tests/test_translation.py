@@ -112,3 +112,33 @@ def test_gnmt_trains_copy_task():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.6
+
+
+def test_cached_beam_search_matches_uncached():
+    """KV-cached decode must produce the same best sequences as full-prefix."""
+    from deeplearningexamples_tpu.models.translation import beam_search_cached
+
+    task = TransformerTask(TINY, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(3))
+    rng = np.random.default_rng(1)
+    src = rng.integers(3, 50, (3, 8)).astype(np.int32)
+    model = task.model
+    memory, memory_mask = model.apply({"params": params}, jnp.asarray(src),
+                                      method=model.encode)
+    beam = 3
+    mem_t = jnp.repeat(memory, beam, axis=0)
+    mask_t = jnp.repeat(memory_mask, beam, axis=0)
+
+    def decode_logits(tgt_ids):
+        return model.apply({"params": params}, tgt_ids, mem_t, mask_t,
+                           method=model.decode)
+
+    s1, f1 = beam_search(decode_logits, 3, beam, max_len=10,
+                         bos_id=TINY.bos_id, eos_id=TINY.eos_id,
+                         pad_id=TINY.pad_id)
+    s2, f2 = beam_search_cached(model, params, mem_t, mask_t, 3, beam,
+                                max_len=10, bos_id=TINY.bos_id,
+                                eos_id=TINY.eos_id, pad_id=TINY.pad_id)
+    np.testing.assert_array_equal(np.asarray(s1[:, 0]), np.asarray(s2[:, 0]))
+    np.testing.assert_allclose(np.asarray(f1[:, 0]), np.asarray(f2[:, 0]),
+                               rtol=1e-4)
