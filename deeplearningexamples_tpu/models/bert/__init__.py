@@ -3,6 +3,7 @@ from .modeling import (
     BertConfig,
     BertForPreTraining,
     BertForQuestionAnswering,
+    BertForMultipleChoice,
     BertForSequenceClassification,
     BertModel,
 )

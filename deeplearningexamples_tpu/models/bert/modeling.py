@@ -37,6 +37,7 @@ __all__ = [
     "BertForPreTraining",
     "BertForQuestionAnswering",
     "BertForSequenceClassification",
+    "BertForMultipleChoice",
     "BERT_CONFIGS",
 ]
 
@@ -275,3 +276,31 @@ class BertForSequenceClassification(nn.Module):
         return _dense(self.num_labels, self.cfg, dtype=jnp.float32, name="classifier")(
             pooled.astype(jnp.float32)
         )
+
+
+class BertForMultipleChoice(nn.Module):
+    """SWAG-style multiple choice (reference ``run_swag.py`` /
+    ``BertForMultipleChoice``): choices folded into the batch dim, one
+    scalar score per (context, choice) pair, softmax over choices."""
+
+    cfg: BertConfig
+    num_choices: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids,
+                 deterministic: bool = True):
+        """inputs (B, num_choices, S) -> logits (B, num_choices)."""
+        b, c, s = input_ids.shape
+        flat = lambda t: t.reshape(b * c, s)
+        _, pooled = BertModel(self.cfg, self.dtype, name="bert")(
+            flat(input_ids), flat(attention_mask), flat(token_type_ids),
+            deterministic,
+        )
+        pooled = nn.Dropout(self.cfg.hidden_dropout)(
+            pooled, deterministic=deterministic
+        )
+        scores = _dense(1, self.cfg, dtype=jnp.float32, name="classifier")(
+            pooled.astype(jnp.float32)
+        )
+        return scores.reshape(b, c)

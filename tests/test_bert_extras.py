@@ -124,3 +124,38 @@ def test_step_timer():
     s = t.summary(batch_size=8)
     assert 5 < s["mean_ms"] < 100
     assert s["ips"] > 0
+
+
+def test_multiple_choice_head():
+    from deeplearningexamples_tpu.models.bert import BertForMultipleChoice
+
+    model = BertForMultipleChoice(TINY, num_choices=4, dtype=jnp.float32)
+    ids = jnp.ones((2, 4, 12), jnp.int32)
+    variables = model.init(jax.random.key(0), ids, ids, jnp.zeros_like(ids))
+    logits = model.apply(variables, ids, ids, jnp.zeros_like(ids))
+    assert logits.shape == (2, 4)
+    # trainable: overfit picking choice index (i % 4)
+    import optax as _optax
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 60, (4, 4, 12)), jnp.int32)
+    labels = jnp.asarray([0, 1, 2, 3])
+
+    def loss_fn(params, ms, batch, r):
+        lg = model.apply({"params": params}, batch["ids"], batch["mask"],
+                         batch["seg"], deterministic=False,
+                         rngs={"dropout": r})
+        return jnp.mean(_optax.softmax_cross_entropy_with_integer_labels(
+            lg, batch["y"])), (ms, {})
+
+    tx = _optax.adam(5e-3)
+    state = create_train_state(variables["params"], tx, jax.random.key(1))
+    step = make_train_step(loss_fn, tx, donate=False)
+    batch = {"ids": ids, "mask": jnp.ones_like(ids), "seg": jnp.zeros_like(ids),
+             "y": labels}
+    for _ in range(25):
+        state, m = step(state, batch)
+    lg = model.apply({"params": state.params}, ids, jnp.ones_like(ids),
+                     jnp.zeros_like(ids))
+    assert (jnp.argmax(lg, -1) == labels).all()

@@ -188,3 +188,47 @@ def test_rel_shift_semantics():
     # row 0 shifts left by 1 relative to row 1 (standard XL trick)
     assert y.shape == (1, 1, 2, 4)
     assert y[0, 0, 0, 0] == x[0, 0, 0, 1]
+
+
+def test_tft_forecast_learns_pattern():
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.tft import TFTConfig, TFTTask, quantile_loss
+
+    cfg = TFTConfig(n_observed=2, n_known=1, hidden=16, n_heads=2,
+                    encoder_len=16, horizon=4)
+    task = TFTTask(cfg)
+    params, _ = task.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    # target = known future covariate scaled by 2 (fully predictable)
+    known = rng.normal(size=(4, 20, 1)).astype(np.float32)
+    batch = {
+        "observed": rng.normal(size=(4, 16, 2)).astype(np.float32),
+        "known": known,
+        "target": (2.0 * known[:, 16:, 0]).astype(np.float32),
+    }
+    tx = optax.adam(5e-3)
+    state = create_train_state(params, tx, jax.random.key(1))
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, jax.tree.map(jnp.asarray, batch))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.5
+    pred = task.model.apply({"params": state.params},
+                            jnp.asarray(batch["observed"]),
+                            jnp.asarray(batch["known"]))
+    assert pred.shape == (4, 4, 3)
+    # quantile monotonicity after training (p10 <= p50 <= p90 mostly)
+    p = np.asarray(pred)
+    assert (p[..., 0] <= p[..., 2] + 0.3).mean() > 0.9
+
+
+def test_quantile_loss_pinball():
+    from deeplearningexamples_tpu.models.tft import quantile_loss
+
+    pred = jnp.zeros((1, 1, 2))
+    target = jnp.ones((1, 1))
+    # q=0.9 penalizes under-prediction 9x more than q=0.1... check ratio
+    l_hi = float(quantile_loss(pred, target, (0.9,)))
+    l_lo = float(quantile_loss(pred, target, (0.1,)))
+    assert l_hi / l_lo == pytest.approx(9.0)
