@@ -232,3 +232,49 @@ def test_quantile_loss_pinball():
     l_hi = float(quantile_loss(pred, target, (0.9,)))
     l_lo = float(quantile_loss(pred, target, (0.1,)))
     assert l_hi / l_lo == pytest.approx(9.0)
+
+
+def test_dynunet_segmentation_learns():
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.unet import UNetConfig, UNetTask, dice_loss, focal_loss
+
+    cfg = UNetConfig(spatial_rank=2, in_channels=1, n_classes=2,
+                     base_filters=8, depth=2)
+    task = UNetTask(cfg, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0), patch=32)
+    # segment a bright square on noise
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 32, 32, 1)).astype(np.float32)
+    lbl = np.zeros((2, 32, 32), np.int32)
+    img[:, 8:24, 8:24, 0] += 3.0
+    lbl[:, 8:24, 8:24] = 1
+    batch = {"image": jnp.asarray(img), "label": jnp.asarray(lbl)}
+    tx = optax.adam(3e-3)
+    state = create_train_state(params, tx, jax.random.key(1))
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    for _ in range(40):
+        state, m = step(state, batch)
+    metrics = task.metric_fn(state.params, {}, batch)
+    assert float(metrics["dice"]) > 0.9  # learns the square
+
+    # 3D path builds and runs
+    cfg3 = UNetConfig(spatial_rank=3, in_channels=1, n_classes=2,
+                      base_filters=4, depth=2)
+    t3 = UNetTask(cfg3, dtype=jnp.float32)
+    p3, _ = t3.init(jax.random.key(0), patch=16)
+    out = t3.model.apply({"params": p3}, jnp.zeros((1, 16, 16, 16, 1)))
+    assert out.shape == (1, 16, 16, 16, 2)
+
+
+def test_focal_loss_downweights_easy():
+    from deeplearningexamples_tpu.models.unet import focal_loss
+
+    easy = jnp.asarray([[5.0, -5.0]])  # confident correct
+    hard = jnp.asarray([[0.1, -0.1]])
+    y = jnp.asarray([0])
+    # focal reduces easy-example weight much more than CE would
+    import optax as _optax
+    ratio_focal = float(focal_loss(hard, y) / focal_loss(easy, y))
+    ce = lambda lg: float(jnp.mean(_optax.softmax_cross_entropy_with_integer_labels(lg, y)))
+    ratio_ce = ce(hard) / ce(easy)
+    assert ratio_focal > ratio_ce * 10
