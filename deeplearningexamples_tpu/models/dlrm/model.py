@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.dot_interaction import dot_interaction, interaction_output_dim
+from ...ops.embedding import embedding_lookup
 
 __all__ = ["DlrmConfig", "Dlrm"]
 
@@ -44,6 +45,10 @@ class DlrmConfig:
     top_mlp: tuple[int, ...] = (1024, 1024, 512, 256, 1)
     interaction: str = "dot"  # dot | cat
     hash_indices: bool = False
+    # embedding grad: "scatter" (XLA scatter-add; faster on v5e where the
+    # gather is latency-bound anyway) | "sorted" (argsort + sorted
+    # segment-sum, ops/embedding.py — wins when scatter dominates)
+    embedding_grad: str = "scatter"
 
     def __post_init__(self):
         assert self.bottom_mlp[-1] == self.embedding_dim, (
@@ -111,7 +116,10 @@ class Dlrm(nn.Module):
             categorical = categorical % cards[None, :]
         # int32 suffices: Criteo-1TB joint table is ~880M rows < 2^31
         flat_idx = categorical.astype(jnp.int32) + jnp.asarray(cfg.offsets, jnp.int32)[None, :]
-        emb = jnp.take(table, flat_idx, axis=0).astype(self.dtype)  # (B, 26, D)
+        if cfg.embedding_grad == "sorted":
+            emb = embedding_lookup(table, flat_idx).astype(self.dtype)
+        else:
+            emb = jnp.take(table, flat_idx, axis=0).astype(self.dtype)  # (B, 26, D)
 
         bottom = _mlp(
             numerical.astype(self.dtype), cfg.bottom_mlp, self.dtype, "bottom_mlp"

@@ -133,3 +133,20 @@ def test_hash_indices():
     cat = jnp.full((2, 4), 10_000, jnp.int32)  # out of range -> hashed in range
     logits = task.model.apply({"params": params}, num, cat)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_embedding_lookup_grad_matches_take():
+    from deeplearningexamples_tpu.ops.embedding import embedding_lookup
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 50, (16, 3)), jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(16, 3, 8)), jnp.float32)
+
+    out = embedding_lookup(table, idx)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.take(table, idx, axis=0)))
+
+    g1 = jax.grad(lambda t: jnp.sum(embedding_lookup(t, idx) * cot))(table)
+    g2 = jax.grad(lambda t: jnp.sum(jnp.take(t, idx, axis=0) * cot))(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
