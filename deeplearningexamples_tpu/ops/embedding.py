@@ -56,3 +56,76 @@ def _bwd(res, g):
 
 
 embedding_lookup.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas row-gather prototype: many row DMAs in flight
+# ---------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+GATHER_BLOCK = 1024  # rows per grid program (matches XLA s32 SMEM layout T(1024))
+_INFLIGHT = 16  # concurrent row DMAs
+
+
+def _gather_kernel(idx_ref, table_ref, out_ref, sems):
+    def dma(j):
+        row = idx_ref[j]
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(row, 1), :],
+            out_ref.at[pl.ds(j, 1), :],
+            sems.at[j % _INFLIGHT],
+        )
+
+    # pipeline: keep _INFLIGHT row copies outstanding
+    def start(j, _):
+        dma(j).start()
+        return 0
+
+    jax.lax.fori_loop(0, _INFLIGHT, start, 0)
+
+    def body(j, _):
+        dma(j).wait()  # frees slot j % _INFLIGHT
+
+        @pl.when(j + _INFLIGHT < GATHER_BLOCK)
+        def _():
+            dma(j + _INFLIGHT).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, GATHER_BLOCK, body, 0)
+
+
+def pallas_gather_rows(table: jax.Array, flat_idx: jax.Array) -> jax.Array:
+    """Row gather via pipelined per-row DMAs (the SURVEY §2.C embedding-bag
+    gather kernel). table (V, D); flat_idx (N,) with N % GATHER_BLOCK == 0.
+    Falls back to ``jnp.take`` on CPU.
+
+    Measured on v5e (1.7M random rows from a 2.6M x 128 f32 table): this
+    kernel is CORRECT but at 60.5 ms loses to XLA's ``jnp.take`` (22.4 ms) —
+    the hardware gather path beats per-row DMAs at 512B granularity, i.e.
+    XLA's gather is already near this chip's random-access limit. Kept as
+    the baseline for future SparseCore-backed or batched-DMA variants; DLRM
+    uses ``jnp.take``. The architectural lever for DLRM is sharding the
+    table over the ``model`` mesh axis so each chip gathers 1/N of the rows.
+    """
+    if jax.default_backend() == "cpu":
+        return jnp.take(table, flat_idx, axis=0)
+    n = flat_idx.shape[0]
+    assert n % GATHER_BLOCK == 0, f"N={n} must be a multiple of {GATHER_BLOCK}"
+    d = table.shape[1]
+    return pl.pallas_call(
+        _gather_kernel,
+        grid=(n // GATHER_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((GATHER_BLOCK,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((GATHER_BLOCK, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_INFLIGHT,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(flat_idx, table)
