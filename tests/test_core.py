@@ -234,3 +234,43 @@ def test_no_decay_mask():
     assert mask["Conv_0"]["kernel"] is True
     assert mask["BatchNorm_0"]["scale"] is False
     assert mask["Dense_0"]["bias"] is False
+
+
+def test_zero_sharded_optimizer_state_matches_replicated():
+    """ZeRO-1: sharding optimizer state over the data axis must not change
+    the math, and the updated state keeps its sharding."""
+    from deeplearningexamples_tpu.parallel import shard_optimizer_state
+
+    mesh = build_mesh(MeshSpec(data=8))
+    params = {"w": jnp.ones((64, 32)), "b": jnp.zeros((32,))}
+
+    def loss_fn(p, s, batch, rng):
+        pred = batch["x"] @ p["w"] + p["b"]
+        return jnp.mean((pred - batch["y"]) ** 2), (s, {})
+
+    tx = optax.adam(0.1)
+    batch_np = {
+        "x": np.random.default_rng(0).normal(size=(32, 64)).astype(np.float32),
+        "y": np.zeros((32, 32), np.float32),
+    }
+    batch = shard_batch(mesh, batch_np)
+
+    s_rep = create_train_state(params, tx, jax.random.key(0))
+    s_sh = create_train_state(params, tx, jax.random.key(0))
+    s_sh = s_sh.replace(opt_state=shard_optimizer_state(s_sh.opt_state, mesh))
+    # adam mu for 'w' is (64, 32) = 2048 elems -> sharded with min_size small
+    s_sh = s_sh.replace(
+        opt_state=shard_optimizer_state(s_sh.opt_state, mesh, min_size=1024)
+    )
+
+    step = make_train_step(loss_fn, tx, donate=False)
+    for _ in range(3):
+        s_rep, _ = step(s_rep, batch)
+        s_sh, m = step(s_sh, batch)
+    np.testing.assert_allclose(
+        np.asarray(s_rep.params["w"]), np.asarray(s_sh.params["w"]), rtol=1e-5
+    )
+    # the moment for 'w' stays sharded over data after updates
+    mu_w = s_sh.opt_state[0].mu["w"]
+    spec = mu_w.sharding.spec
+    assert spec and spec[0] == "data"
