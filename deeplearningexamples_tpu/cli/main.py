@@ -107,6 +107,20 @@ def _dtype(cfg: CommonConfig):
     return jnp.bfloat16 if cfg.amp else jnp.float32
 
 
+def _maybe_resume(cfg: CommonConfig, ckpt: CheckpointManager, state,
+                  steps_per_epoch: int):
+    """Restore the latest checkpoint and derive the epoch to resume at.
+
+    The reference restores both model state AND epoch counter
+    (``ConvNets/main.py:421-451``); restoring state but restarting at epoch 0
+    would re-run the full schedule on top of the restored step."""
+    start_epoch = 0
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+    return state, start_epoch
+
+
 # ---------------------------------------------------------------------------
 # per-model runners
 # ---------------------------------------------------------------------------
@@ -132,11 +146,17 @@ def run_convnet(arch: str, cfg: CommonConfig) -> None:
             cfg.batch_size, image_size, 1000, steps=cfg.steps_per_epoch
         )
         val_loader = SyntheticImageLoader(cfg.batch_size, image_size, 1000, steps=10)
+        train_iter_fn = lambda: prefetch_to_device(loader, mesh)
+        val_iter_fn = lambda: prefetch_to_device(val_loader, mesh)
     else:
+        from ..data import background
         from ..data.imagenet import ImageNetLoader
 
         loader = ImageNetLoader(cfg.data_dir, "train", cfg.batch_size, image_size)
         val_loader = ImageNetLoader(cfg.data_dir, "val", cfg.batch_size, image_size)
+        # decode on a producer thread, overlapped with the step loop
+        train_iter_fn = lambda: prefetch_to_device(background(iter(loader)), mesh)
+        val_iter_fn = lambda: prefetch_to_device(background(iter(val_loader)), mesh)
 
     sched = _make_schedule(cfg, len(loader))
     tx = opt.sgd(sched, cfg.momentum, cfg.weight_decay, params_for_mask=params)
@@ -144,18 +164,17 @@ def run_convnet(arch: str, cfg: CommonConfig) -> None:
         params, tx, jax.random.key(cfg.seed + 1), mstate, ema=cfg.ema > 0
     )
     ckpt = CheckpointManager(f"{cfg.workspace}/{arch}_ckpt")
-    if cfg.resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
     train_step = make_train_step(
         task.loss_fn, tx, accum_steps=cfg.accum_steps,
         ema_decay=cfg.ema if cfg.ema > 0 else None,
     )
     eval_step = make_eval_step(task.metric_fn)
     train_loop(
-        state, train_step, lambda: prefetch_to_device(loader, mesh),
+        state, train_step, train_iter_fn,
         cfg=_loop_cfg(cfg, watch="top1", mode="max"), logger=logger,
-        eval_step=eval_step, eval_iter_fn=lambda: prefetch_to_device(val_loader, mesh),
-        checkpoints=ckpt, batch_size=cfg.batch_size,
+        eval_step=eval_step, eval_iter_fn=val_iter_fn,
+        checkpoints=ckpt, batch_size=cfg.batch_size, start_epoch=start_epoch,
     )
 
 
@@ -166,28 +185,46 @@ def run_ssd(cfg: CommonConfig) -> None:
     mesh, logger = _common_setup(cfg, "ssd300")
     task = SSDTask(dtype=_dtype(cfg))
     params, mstate = task.init(jax.random.key(cfg.seed))
+    eval_fn = None
+    watch, watch_mode = "val_loss", "min"
     if cfg.data_backend == "coco":
+        from ..data import background
         from ..data.coco import CocoDetectionDataset, CocoSSDLoader
+        from ..models.ssd.evaluate import evaluate_ssd
 
         ds = CocoDetectionDataset(
             f"{cfg.data_dir}/train2017",
             f"{cfg.data_dir}/annotations/instances_train2017.json",
         )
         loader = CocoSSDLoader(ds, cfg.batch_size, task.dboxes)
+        train_iter_fn = lambda: prefetch_to_device(background(iter(loader)), mesh)
+        # in-training COCO mAP on eval epochs (reference SSD/main.py:224-228)
+        val_ds = CocoDetectionDataset(
+            f"{cfg.data_dir}/val2017",
+            f"{cfg.data_dir}/annotations/instances_val2017.json",
+        )
+        val_loader = CocoSSDLoader(
+            val_ds, cfg.batch_size, task.dboxes, train=False
+        )
+        eval_fn = lambda state: evaluate_ssd(
+            task, state.params, state.model_state, val_loader
+        )
+        watch, watch_mode = "mAP", "max"
     else:
         loader = SyntheticSSDLoader(cfg.batch_size, task.dboxes, steps=cfg.steps_per_epoch)
+        train_iter_fn = lambda: prefetch_to_device(loader, mesh)
     sched = _make_schedule(cfg, len(loader))
     # tencent_trick: no WD on bias/BN (ssd/train.py:192) via params mask
     tx = opt.sgd(sched, cfg.momentum, cfg.weight_decay, params_for_mask=params)
     state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
     ckpt = CheckpointManager(f"{cfg.workspace}/ssd300_ckpt")
-    if cfg.resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
     train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
     train_loop(
-        state, train_step, lambda: prefetch_to_device(loader, mesh),
-        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
-        batch_size=cfg.batch_size,
+        state, train_step, train_iter_fn,
+        cfg=_loop_cfg(cfg, watch=watch, mode=watch_mode), logger=logger,
+        eval_fn=eval_fn, checkpoints=ckpt,
+        batch_size=cfg.batch_size, start_epoch=start_epoch,
     )
 
 
@@ -196,6 +233,7 @@ class DlrmCliConfig(CommonConfig):
     num_tables: int = 26
     cardinality: int = 100_000  # uniform synthetic cardinality per table
     embedding_dim: int = 128
+    auc_threshold: float = 0.0  # stop at target AUC (reference --auc_threshold)
 
 
 @dataclass
@@ -205,6 +243,7 @@ class BertCliConfig(CommonConfig):
     max_predictions: int = 20
     remat: bool = False
     phase2: bool = False
+    phase1_ckpt: str = ""  # phase2: init params from a phase-1 checkpoint
 
 
 def run_bert_pretrain(cfg: BertCliConfig) -> None:
@@ -220,27 +259,59 @@ def run_bert_pretrain(cfg: BertCliConfig) -> None:
     bcfg = dc.replace(BERT_CONFIGS[cfg.bert_model], remat=cfg.remat)
     task = BertPretrainTask(bcfg, _dtype(cfg), max_predictions=cfg.max_predictions)
     params, mstate = task.init(jax.random.key(cfg.seed), seq_len=cfg.seq_len)
-    loader = SyntheticBertLoader(
-        cfg.batch_size, cfg.seq_len, bcfg.vocab_size, cfg.max_predictions,
-        steps=cfg.steps_per_epoch,
-    )
+    if cfg.data_backend == "corpus":
+        # tokenized shards from data.bert_prep.prepare_corpus — the real-data
+        # path (reference run_pretraining.py:557-570's loader role); the last
+        # documents are held out for MLM/NSP-accuracy validation
+        from ..data.bert_pretrain import BertPretrainLoader, MaskingConfig
+        from ..data.bert_prep import load_corpus_shards
+
+        docs = load_corpus_shards(
+            cfg.data_dir, shard=(jax.process_index(), jax.process_count())
+        )
+        n_eval = max(2, len(docs) // 100)
+        mcfg = MaskingConfig(
+            vocab_size=bcfg.vocab_size,
+            max_predictions_per_seq=cfg.max_predictions,
+        )
+        loader = BertPretrainLoader(
+            docs[:-n_eval], cfg.batch_size, cfg.seq_len, mcfg, seed=cfg.seed,
+            steps_per_epoch=cfg.steps_per_epoch if cfg.mode != "train" else None,
+        )
+        val_loader = BertPretrainLoader(
+            docs[-n_eval:], cfg.batch_size, cfg.seq_len, mcfg,
+            seed=cfg.seed + 7, steps_per_epoch=10,
+        )
+    else:
+        loader = SyntheticBertLoader(
+            cfg.batch_size, cfg.seq_len, bcfg.vocab_size, cfg.max_predictions,
+            steps=cfg.steps_per_epoch,
+        )
+        val_loader = SyntheticBertLoader(
+            cfg.batch_size, cfg.seq_len, bcfg.vocab_size, cfg.max_predictions,
+            steps=5,
+        )
     total = cfg.epochs * len(loader)
     sched = opt.lr_poly_warmup(cfg.lr, max(total // 100, 1), total)
     tx = lamb(sched, weight_decay=cfg.weight_decay or 0.01)
+    if cfg.phase1_ckpt:
+        # phase2 chaining (reference --phase1_end_step/init_checkpoint,
+        # run_pretraining.py:430-445): carry params over, FRESH optimizer and
+        # LR schedule for the s512 phase
+        phase1 = CheckpointManager(cfg.phase1_ckpt)
+        tmpl = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
+        params = phase1.restore(tmpl).params
     state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
     ckpt = CheckpointManager(f"{cfg.workspace}/bert_ckpt")
-    if cfg.resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
     train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
     eval_step = make_eval_step(task.metric_fn)
     train_loop(
         state, train_step, lambda: prefetch_to_device(loader, mesh),
         cfg=_loop_cfg(cfg, watch="mlm_acc", mode="max"), logger=logger,
         eval_step=eval_step,
-        eval_iter_fn=lambda: prefetch_to_device(
-            SyntheticBertLoader(cfg.batch_size, cfg.seq_len, bcfg.vocab_size,
-                                cfg.max_predictions, steps=5), mesh),
-        checkpoints=ckpt, batch_size=cfg.batch_size,
+        eval_iter_fn=lambda: prefetch_to_device(val_loader, mesh),
+        checkpoints=ckpt, batch_size=cfg.batch_size, start_epoch=start_epoch,
     )
 
 
@@ -251,6 +322,7 @@ class SquadCliConfig(CommonConfig):
     doc_stride: int = 128
     vocab_file: str = ""
     train_file: str = ""
+    predict_file: str = ""  # dev json; enables EM/F1 eval (run_squad --do_predict)
     init_checkpoint: str = ""  # torch BERT checkpoint to fine-tune from
 
 
@@ -295,16 +367,46 @@ def run_bert_squad(cfg: SquadCliConfig) -> None:
             "end_positions": rng.integers(0, cfg.max_seq_length, cfg.batch_size).astype(_np.int32),
         }
         loader = [fixed] * cfg.steps_per_epoch
+
+    eval_fn = None
+    watch, watch_mode = "val_loss", "min"
+    if cfg.predict_file and cfg.vocab_file:
+        # dev-set prediction + official EM/F1 each eval epoch
+        # (reference run_squad.py:427-478 + evaluate-v1.1)
+        from ..data.squad import (
+            convert_examples_to_features as to_features,
+            read_squad_examples as read_examples,
+        )
+        from ..data.tokenization import BertTokenizer as Tok
+        from ..models.bert import (
+            predict_squad, read_squad_references, write_predictions,
+        )
+        from ..models.bert.squad_eval import squad_evaluate
+
+        dev_feats = to_features(
+            read_examples(cfg.predict_file, is_training=False), Tok(cfg.vocab_file),
+            cfg.max_seq_length, cfg.doc_stride, is_training=False,
+        )
+        refs = read_squad_references(cfg.predict_file)
+
+        def eval_fn(state):
+            preds = predict_squad(task, state.params, dev_feats, cfg.batch_size)
+            write_predictions(preds, f"{cfg.workspace}/predictions.json")
+            return squad_evaluate(preds, refs)
+
+        watch, watch_mode = "f1", "max"
     total = cfg.epochs * len(loader)
     sched = opt.lr_poly_warmup(cfg.lr or 3e-5, int(total * 0.1), total, power=1.0)
     tx = optax.adamw(sched, weight_decay=0.01)
     state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
     ckpt = CheckpointManager(f"{cfg.workspace}/bert_squad_ckpt")
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
     train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
     train_loop(
         state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
-        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
-        batch_size=cfg.batch_size,
+        cfg=_loop_cfg(cfg, watch=watch, mode=watch_mode), logger=logger,
+        eval_fn=eval_fn, checkpoints=ckpt,
+        batch_size=cfg.batch_size, start_epoch=start_epoch,
     )
 
 
@@ -333,19 +435,41 @@ def run_dlrm(cfg: DlrmCliConfig) -> None:
     tx = make_dlrm_optimizer(params, mlp_lr=cfg.lr, embedding_lr=cfg.lr)
     state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
     if spec is not None:
-        loader = CriteoBinaryDataset(cfg.data_dir, spec, cfg.batch_size)
+        # held-out eval on REAL rows: a test/ split dir if present, else the
+        # trailing 2% of rows (the reference's last-day convention)
+        import os as _os
+
+        test_dir = _os.path.join(cfg.data_dir, "test")
+        if _os.path.isdir(test_dir):
+            loader = CriteoBinaryDataset(cfg.data_dir, spec, cfg.batch_size)
+            val_loader = CriteoBinaryDataset(
+                test_dir, spec, cfg.batch_size, drop_last=False
+            )
+        else:
+            loader = CriteoBinaryDataset(
+                cfg.data_dir, spec, cfg.batch_size, row_range=(0.0, 0.98)
+            )
+            val_loader = CriteoBinaryDataset(
+                cfg.data_dir, spec, cfg.batch_size, row_range=(0.98, 1.0),
+                drop_last=False,
+            )
     else:
         loader = SyntheticDlrmLoader(cfg.batch_size, list(cards), steps=cfg.steps_per_epoch)
+        val_loader = SyntheticDlrmLoader(cfg.batch_size, list(cards), steps=5, seed=1)
     ckpt = CheckpointManager(f"{cfg.workspace}/dlrm_ckpt")
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
     train_step = make_train_step(task.loss_fn, tx)
-    eval_step = make_eval_step(task.metric_fn)
+    # dataset-level AUC over all eval scores (not a mean of per-batch AUCs)
+    eval_step = make_eval_step(task.eval_collect_fn)
+    loop_cfg = _loop_cfg(cfg, watch="auc", mode="max")
+    if cfg.auc_threshold > 0:
+        loop_cfg = dataclasses.replace(loop_cfg, target_metric=cfg.auc_threshold)
     train_loop(
         state, train_step, lambda: prefetch_to_device(loader, mesh),
-        cfg=_loop_cfg(cfg, watch="auc", mode="max"), logger=logger,
-        eval_step=eval_step,
-        eval_iter_fn=lambda: prefetch_to_device(
-            SyntheticDlrmLoader(cfg.batch_size, list(cards), steps=5, seed=1), mesh),
-        checkpoints=ckpt, batch_size=cfg.batch_size,
+        cfg=loop_cfg, logger=logger,
+        eval_step=eval_step, eval_reduce=task.eval_reduce,
+        eval_iter_fn=lambda: prefetch_to_device(val_loader, mesh),
+        checkpoints=ckpt, batch_size=cfg.batch_size, start_epoch=start_epoch,
     )
 
 

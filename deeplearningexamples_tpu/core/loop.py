@@ -60,11 +60,27 @@ def train_loop(
     eval_step: Callable | None = None,
     eval_iter_fn: Callable[[], Iterable] | None = None,
     eval_params_fn: Callable[[Any], tuple] = lambda s: (s.params, s.model_state),
+    eval_reduce: Callable[[dict], Mapping] | None = None,
+    eval_fn: Callable[[Any], Mapping] | None = None,
     checkpoints: CheckpointManager | None = None,
     batch_size: int | None = None,
     start_epoch: int = 0,
 ):
-    """Run the full training. Returns (state, best_metric)."""
+    """Run the full training. Returns (state, best_metric).
+
+    Two evaluation styles compose (either or both may be given):
+
+    - ``eval_step`` + ``eval_iter_fn``: a jitted per-batch metric step. By
+      default per-batch scalars are averaged. With ``eval_reduce``, per-batch
+      outputs (scalars OR arrays, e.g. scores/labels) are gathered host-side
+      and ``eval_reduce({key: concatenated ndarray}) -> {metric: scalar}``
+      computes dataset-level metrics once over the full eval set — the role
+      of the reference's ``dist_evaluate`` (DLRM AUC over all eval scores,
+      ``dlrm/scripts/main.py:733``), not a mean of per-batch values.
+    - ``eval_fn(state) -> metrics``: a host-driven evaluator for metrics that
+      need host post-processing (SSD COCO mAP via NMS, SQuAD EM/F1 via span
+      decoding — reference ``SSD/main.py:224-228``, ``run_squad.py:427-478``).
+    """
     for name, meter in [
         ("train.loss", "average"), ("train.total_ips", "average"),
         ("train.data_time", "average"), ("train.compute_time", "average"),
@@ -115,18 +131,30 @@ def train_loop(
 
             # ---- validate ----------------------------------------------
             watch_value = None
-            if (
-                eval_step is not None
-                and eval_iter_fn is not None
-                and (epoch + 1) % cfg.eval_interval_epochs == 0
-            ):
+            is_eval_epoch = (epoch + 1) % cfg.eval_interval_epochs == 0
+            val: dict[str, float] = {}
+            if eval_step is not None and eval_iter_fn is not None and is_eval_epoch:
                 params, model_state = eval_params_fn(state)
                 agg: dict[str, list] = {}
                 for batch in eval_iter_fn():
                     m = eval_step(params, model_state, batch)
                     for k, v in m.items():
-                        agg.setdefault(k, []).append(float(v))
-                val = {f"val.{k}": float(np.mean(v)) for k, v in agg.items()}
+                        agg.setdefault(k, []).append(
+                            np.asarray(v) if eval_reduce else float(v)
+                        )
+                if eval_reduce is not None and agg:
+                    flat = {
+                        k: np.concatenate([np.atleast_1d(x) for x in v])
+                        for k, v in agg.items()
+                    }
+                    val.update(
+                        {f"val.{k}": float(v) for k, v in eval_reduce(flat).items()}
+                    )
+                elif eval_reduce is None:
+                    val.update({f"val.{k}": float(np.mean(v)) for k, v in agg.items()})
+            if eval_fn is not None and is_eval_epoch:
+                val.update({f"val.{k}": float(v) for k, v in eval_fn(state).items()})
+            if val:
                 logger.log((epoch,), val)
                 watch_value = val.get(f"val.{cfg.watch_metric}")
 

@@ -1,4 +1,4 @@
-from .prefetch import prefetch_to_device
+from .prefetch import background, prefetch_to_device
 from .synthetic import (
     SyntheticBertLoader,
     SyntheticDlrmLoader,

@@ -61,7 +61,8 @@ class CriteoBinaryDataset:
     (f32 x num_numerical), categorical.bin (i32 x n_tables)."""
 
     def __init__(self, directory: str, spec: FeatureSpec, batch_size: int,
-                 drop_last: bool = True, shard: tuple[int, int] = (0, 1)):
+                 drop_last: bool = True, shard: tuple[int, int] = (0, 1),
+                 row_range: tuple[float, float] = (0.0, 1.0)):
         self.spec = spec
         self.batch_size = batch_size
         n_cat = len(spec.categorical_cardinalities)
@@ -74,25 +75,37 @@ class CriteoBinaryDataset:
         self.categorical = np.memmap(
             os.path.join(directory, "categorical.bin"), np.int32, "r"
         ).reshape(n, n_cat)
-        # contiguous per-shard range (hosts stream disjoint slices)
+        # fractional row window (train/held-out carve when there is no
+        # separate test split dir — the reference's last-day convention),
+        # then contiguous per-shard range (hosts stream disjoint slices)
+        lo, hi = int(n * row_range[0]), int(n * row_range[1])
         idx, count = shard
-        per = n // count
-        self.start, self.stop = idx * per, (idx + 1) * per if idx < count - 1 else n
+        per = (hi - lo) // count
+        self.start = lo + idx * per
+        self.stop = lo + (idx + 1) * per if idx < count - 1 else hi
         self.drop_last = drop_last
 
     def __len__(self):
         n = self.stop - self.start
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _slice(self, s: int, e: int) -> dict:
+        return {
+            "numerical": np.log1p(np.maximum(
+                np.asarray(self.numerical[s:e]), 0.0)),
+            "categorical": np.asarray(self.categorical[s:e]),
+            "label": np.asarray(self.label[s:e]),
+        }
+
     def __iter__(self) -> Iterator[dict]:
         bs = self.batch_size
-        for s in range(self.start, self.stop - bs + 1, bs):
-            yield {
-                "numerical": np.log1p(np.maximum(
-                    np.asarray(self.numerical[s : s + bs]), 0.0)),
-                "categorical": np.asarray(self.categorical[s : s + bs]),
-                "label": np.asarray(self.label[s : s + bs]),
-            }
+        n_full = (self.stop - self.start) // bs
+        for i in range(n_full):
+            s = self.start + i * bs
+            yield self._slice(s, s + bs)
+        tail = self.start + n_full * bs
+        if not self.drop_last and tail < self.stop:
+            yield self._slice(tail, self.stop)  # short tail batch (eval only)
 
 
 def transcode_tsv(

@@ -9,6 +9,17 @@ on a thread pool; this module owns dataset listing, per-host sharding
 (the ``DistributedSampler`` / DALI ``shard_id`` role, ``dataloaders.py:
 106-112,439-444``), shuffling, and RRC parameter sampling.
 
+Crop geometry is computed in PIXEL space per image (torchvision/DALI
+semantics): the aspect ratio of the sampled region is a real pixel aspect,
+and the val path crops a square of ``shorter_side * image_size/resize_size``
+pixels — a fractional crop of both axes would squash non-square images
+(asserted by ``tests/test_native_dataplane.py::test_val_crop_is_square``).
+JPEG dimensions come from a header parse (``jpeg_info``), cached per epoch.
+
+For decode/compute overlap wrap the loader in ``data.prefetch.background``
+(the reference's DataLoader-workers / DALI-pipeline role); ``decode_batch``
+itself already fans out over the native thread pool.
+
 Layout: standard ``train/<wnid>/*.JPEG`` class folders.
 """
 
@@ -20,37 +31,59 @@ from typing import Iterator
 import jax
 import numpy as np
 
-__all__ = ["ImageNetLoader", "sample_rrc_params"]
+__all__ = ["ImageNetLoader", "sample_rrc_pixels", "center_crop_fractions"]
 
 MEAN = (0.485, 0.456, 0.406)
 STD = (0.229, 0.224, 0.225)
 
 
-def sample_rrc_params(
+def sample_rrc_pixels(
     rng: np.random.Generator,
-    n: int,
+    width: int,
+    height: int,
     scale=(0.08, 1.0),
     ratio=(3 / 4, 4 / 3),
-) -> np.ndarray:
-    """RandomResizedCrop fractions (x, y, w, h), torchvision/DALI semantics:
-    sample area*scale and aspect in log-uniform ratio; fall back to center."""
-    out = np.empty((n, 4), np.float32)
-    for i in range(n):
-        for _ in range(10):
-            area = rng.uniform(*scale)
-            log_ratio = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
-            r = np.exp(log_ratio)
-            w = np.sqrt(area * r)
-            h = np.sqrt(area / r)
-            if w <= 1.0 and h <= 1.0:
-                x = rng.uniform(0, 1.0 - w)
-                y = rng.uniform(0, 1.0 - h)
-                out[i] = (x, y, w, h)
-                break
-        else:
-            s = min(1.0, float(np.sqrt(scale[1])))
-            out[i] = ((1 - s) / 2, (1 - s) / 2, s, s)
-    return out
+) -> tuple[float, float, float, float]:
+    """RandomResizedCrop in pixel space (torchvision ``get_params``): sample
+    target area and log-uniform aspect, accept if it fits; fall back to the
+    largest center crop within the ratio bounds. Returns per-axis fractions
+    (x, y, w, h) for the data plane."""
+    area = width * height
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        aspect = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        w = int(round(np.sqrt(target_area * aspect)))
+        h = int(round(np.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            x = rng.integers(0, width - w + 1)
+            y = rng.integers(0, height - h + 1)
+            return (x / width, y / height, w / width, h / height)
+    # fallback: clamp aspect, center
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        w, h = int(round(height * ratio[1])), height
+    else:
+        w, h = width, height
+    x, y = (width - w) // 2, (height - h) // 2
+    return (x / width, y / height, w / width, h / height)
+
+
+def center_crop_fractions(
+    width: int, height: int, image_size: int, resize_size: int | None = None
+) -> tuple[float, float, float, float]:
+    """Val geometry: resize-shorter-to-``resize_size`` then center-crop
+    ``image_size`` ≡ center-crop a SQUARE of ``shorter * image_size/resize``
+    pixels from the original, then resize to ``image_size``."""
+    resize_size = resize_size or int(round(image_size * 256 / 224))
+    side = min(width, height) * image_size / resize_size
+    return (
+        (width - side) / 2 / width,
+        (height - side) / 2 / height,
+        side / width,
+        side / height,
+    )
 
 
 class ImageNetLoader:
@@ -63,7 +96,7 @@ class ImageNetLoader:
         batch_size: int,
         image_size: int = 224,
         seed: int = 0,
-        drop_last: bool = True,
+        drop_last: bool | None = None,  # default: True for train, False val
         n_threads: int | None = None,
         shard: tuple[int, int] | None = None,  # (index, count); default by process
     ):
@@ -91,11 +124,22 @@ class ImageNetLoader:
             shard = (jax.process_index(), jax.process_count())
         idx, count = shard
         self.samples = samples[idx::count]
-        self.drop_last = drop_last
+        self.drop_last = drop_last if drop_last is not None else (split == "train")
+        self._dims: dict[int, tuple[int, int]] = {}  # sample idx -> (w, h)
 
     def __len__(self) -> int:
         n = len(self.samples) // self.batch_size
         return n if self.drop_last else -(-len(self.samples) // self.batch_size)
+
+    def _dims_of(self, i: int, data: bytes) -> tuple[int, int]:
+        wh = self._dims.get(i)
+        if wh is None:
+            try:
+                wh = self.plane.jpeg_info(data)
+            except ValueError:
+                wh = (self.image_size, self.image_size)  # corrupt: zero-fill later
+            self._dims[i] = wh
+        return wh
 
     def __iter__(self) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed + self.epoch)
@@ -104,29 +148,32 @@ class ImageNetLoader:
             np.arange(len(self.samples))
         )
         bs = self.batch_size
+        if not self.drop_last and len(order) % bs:
+            # pad the final batch by wrapping (DALI pad_last_batch role);
+            # keeps eval shapes static, duplicates < bs samples
+            pad = bs - len(order) % bs
+            order = np.concatenate([order, order[:pad]])
         for start in range(0, len(order) - bs + 1, bs):
             batch_idx = order[start : start + bs]
-            jpegs, labels = [], []
+            jpegs, labels, crops = [], [], []
             for i in batch_idx:
                 path, label = self.samples[i]
                 with open(path, "rb") as f:
-                    jpegs.append(f.read())
+                    data = f.read()
+                jpegs.append(data)
                 labels.append(label)
-            if self.split == "train":
-                crops = sample_rrc_params(rng, bs)
-                flips = (rng.random(bs) < 0.5).astype(np.int32)
-            else:
-                # resize-shorter-to-256 + center crop 224 expressed as a
-                # central fractional crop of size image_size/256
-                frac = self.image_size / 256.0
-                crops = np.tile(
-                    np.asarray(
-                        [(1 - frac) / 2, (1 - frac) / 2, frac, frac], np.float32
-                    ),
-                    (bs, 1),
-                )
-                flips = np.zeros(bs, np.int32)
+                w, h = self._dims_of(int(i), data)
+                if self.split == "train":
+                    crops.append(sample_rrc_pixels(rng, w, h))
+                else:
+                    crops.append(center_crop_fractions(w, h, self.image_size))
+            flips = (
+                (rng.random(bs) < 0.5).astype(np.int32)
+                if self.split == "train"
+                else np.zeros(bs, np.int32)
+            )
             images = self.plane.decode_batch(
-                jpegs, crops, flips, self.image_size, MEAN, STD
+                jpegs, np.asarray(crops, np.float32), flips, self.image_size,
+                MEAN, STD,
             )
             yield {"image": images, "label": np.asarray(labels, np.int32)}

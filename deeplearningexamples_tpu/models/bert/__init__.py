@@ -7,4 +7,5 @@ from .modeling import (
     BertForSequenceClassification,
     BertModel,
 )
+from .predict import predict_squad, read_squad_references, write_predictions
 from .task import BertPretrainTask, BertSquadTask

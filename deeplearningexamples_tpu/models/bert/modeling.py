@@ -71,6 +71,11 @@ class BertConfig:
 
 
 BERT_CONFIGS = {
+    # debug/CI-scale model (no reference analogue; for smoke tests)
+    "tiny": BertConfig(
+        vocab_size=1024, hidden_size=64, num_layers=2, num_heads=2,
+        intermediate_size=128, max_position_embeddings=512,
+    ),
     "base": BertConfig(),
     "large": BertConfig(
         hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096

@@ -82,3 +82,33 @@ class DlrmTask:
                 optax.sigmoid_binary_cross_entropy(logits, batch["label"])
             ),
         }
+
+    def eval_collect_fn(self, params, model_state, batch):
+        """Per-batch raw outputs for dataset-level reduction (the reference's
+        ``dist_evaluate`` gathers all scores before one AUC,
+        ``dlrm/scripts/main.py:733-780``; a mean of per-batch AUCs is biased)."""
+        logits = self.model.apply(
+            {"params": params}, batch["numerical"], batch["categorical"]
+        )
+        return {
+            "score": logits.astype(jnp.float32),
+            "label": batch["label"].astype(jnp.float32),
+            "bce": optax.sigmoid_binary_cross_entropy(logits, batch["label"]),
+        }
+
+    @staticmethod
+    def eval_reduce(flat: dict) -> dict:
+        """Full-eval-set AUC + loss from concatenated per-batch outputs."""
+        import numpy as np
+
+        scores, labels = flat["score"], flat["label"]
+        order = np.argsort(-scores, kind="stable")
+        y = labels[order]
+        tps = np.cumsum(y)
+        fps = np.cumsum(1.0 - y)
+        tpr = np.concatenate([[0.0], tps / max(tps[-1], 1.0)])
+        fpr = np.concatenate([[0.0], fps / max(fps[-1], 1.0)])
+        return {
+            "auc": float(np.trapezoid(tpr, fpr)),
+            "val_loss": float(np.mean(flat["bce"])),
+        }
