@@ -244,6 +244,7 @@ class BertCliConfig(CommonConfig):
     remat: bool = False
     phase2: bool = False
     phase1_ckpt: str = ""  # phase2: init params from a phase-1 checkpoint
+    zero: bool = False  # ZeRO-1: shard optimizer state over the data axis
 
 
 def run_bert_pretrain(cfg: BertCliConfig) -> None:
@@ -304,6 +305,14 @@ def run_bert_pretrain(cfg: BertCliConfig) -> None:
     state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
     ckpt = CheckpointManager(f"{cfg.workspace}/bert_ckpt")
     state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
+    if cfg.zero:
+        # LAMB's fp32 moments sharded over the data axis (ZeRO-1);
+        # per-chip optimizer memory drops by the DP degree
+        from ..parallel.zero import shard_optimizer_state
+
+        state = state.replace(
+            opt_state=shard_optimizer_state(state.opt_state, mesh)
+        )
     train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
     eval_step = make_eval_step(task.metric_fn)
     train_loop(
@@ -432,6 +441,16 @@ def run_dlrm(cfg: DlrmCliConfig) -> None:
         _dtype(cfg),
     )
     params, mstate = task.init(jax.random.key(cfg.seed))
+    if cfg.mesh_model > 1:
+        # hybrid parallelism: embedding table row-sharded over the model
+        # axis, batch over data — GSPMD inserts the lookup all-to-all the
+        # reference hand-writes (dlrm/model/distributed.py:25-98)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = dict(params)
+        params["embedding_table"] = jax.device_put(
+            params["embedding_table"], NamedSharding(mesh, P("model", None))
+        )
     tx = make_dlrm_optimizer(params, mlp_lr=cfg.lr, embedding_lr=cfg.lr)
     state = create_train_state(params, tx, jax.random.key(cfg.seed + 1), mstate)
     if spec is not None:

@@ -330,6 +330,21 @@ def test_cli_dlrm_binary_trains_and_evals_real_rows(tmp_path):
     assert val, "no dataset-level val.auc logged"
 
 
+def test_cli_dlrm_mesh_model_sharded_table(tmp_path):
+    """--mesh-model 2 row-shards the embedding table over the model axis
+    (the hybrid-parallel layout, reachable from the CLI)."""
+    from deeplearningexamples_tpu.cli.main import cli
+
+    ws = tmp_path / "ws"
+    cli([
+        "dlrm", "--batch-size", "32", "--epochs", "1", "--steps-per-epoch", "3",
+        "--lr", "0.5", "--embedding-dim", "16", "--num-tables", "3",
+        "--cardinality", "64", "--mesh-data", "4", "--mesh-model", "2",
+        "--workspace", str(ws), "--amp", "false",
+    ])
+    assert "train.loss" in open(ws / "dlrm_raport.json").read()
+
+
 def test_cli_bert_pretrain_corpus_backend(tmp_path):
     """`bert-pretrain --data-backend corpus` reads prepared shards (the real
     loader is reachable from the CLI, VERDICT missing #1)."""
