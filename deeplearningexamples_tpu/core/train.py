@@ -133,7 +133,12 @@ def make_train_step(
             state.params, state.model_state, batch, step_rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if getattr(tx, "returns_new_params", False):
+            # flat fused-LAMB path (core/flat.py): the Pallas kernel already
+            # wrote p' — skip apply_updates' extra pass over the buffer
+            new_params = updates
+        else:
+            new_params = optax.apply_updates(state.params, updates)
 
         ema = state.ema_params
         if ema_decay is not None and ema is not None:
