@@ -87,20 +87,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, b
     l_ref[0, 0] = m + jnp.log(l)
 
 
-def _fwd(q, k, v, key_mask, causal, scale, block_q):
+def _fwd(q, k, v, key_mask, causal, scale, block_q, bshd=False):
+    if bshd:
+        return _fwd_bshd(q, k, v, key_mask, causal, scale, block_q)
     b, h, sq, d = q.shape
     sk = k.shape[2]
     bq = min(block_q, sq)
     grid = (b, h, pl.cdiv(sq, bq))
 
-    in_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    qspec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    in_specs = [qspec, kspec, kspec]
     args = [q, k, v]
     if key_mask is not None:
         in_specs.append(
@@ -121,8 +121,7 @@ def _fwd(q, k, v, key_mask, causal, scale, block_q):
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                         memory_space=pltpu.VMEM),
+            qspec,
             pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -133,6 +132,112 @@ def _fwd(q, k, v, key_mask, causal, scale, block_q):
         interpret=_interpret(),
     )(*args)
     return out, lse
+
+
+# ---------------------------------------------------------------------------
+# bshd layout: (B, S, H, D) without transposes
+# ---------------------------------------------------------------------------
+#
+# TPU block shapes must have their last two dims divisible by (8, 128) or
+# equal to the array dims, so a (1, bq, 1, d) block over (B, S, H, D) cannot
+# slice a single 64-wide head. Instead the array is viewed as (B, S, H*D)
+# — a free reshape — and each grid program owns ``hpb = 128 // d`` adjacent
+# heads (128 lanes), computing attention per head on in-register column
+# slices. This keeps QKV/context in the projection-natural layout end to
+# end: no (B,H,S,D) relayout ever hits HBM.
+
+
+def _heads_per_block(d: int) -> int:
+    if d % 128 == 0:
+        return 1
+    if 128 % d == 0:
+        return 128 // d
+    return 0  # unsupported head_dim for the folded layout
+
+
+def _fwd_kernel_bshd(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *,
+                     scale, causal, block_q, d, hpb):
+    qi = pl.program_id(2)
+    outs = []
+    for j in range(hpb):
+        q = q_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)  # (BQ, D)
+        k = k_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)  # (S, D)
+        v = v_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0] != 0, s, NEG_INF)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(row >= col, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        outs.append(o / l)
+        l_ref[0, j] = m + jnp.log(l)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fwd_bshd(q, k, v, key_mask, causal, scale, block_q):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    hpb = _heads_per_block(d)
+    if hpb == 0 or h % max(hpb, 1):
+        # fall back through the transpose path for odd head_dims
+        tq, tk, tv = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        out, lse = _fwd(tq, tk, tv, key_mask, causal, scale, block_q)
+        return out.transpose(0, 2, 1, 3), lse
+    bq = min(block_q, sq)
+    grid = (b, h // hpb, pl.cdiv(sq, bq))
+    hd = hpb * d
+
+    q3 = q.reshape(b, sq, h * d)
+    k3 = k.reshape(b, sk, h * d)
+    v3 = v.reshape(b, sk, h * d)
+    qspec = pl.BlockSpec((1, bq, hd), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, sk, hd), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM)
+
+    in_specs = [qspec, kspec, kspec]
+    args = [q3, k3, v3]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, sk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+        kernel = functools.partial(
+            _fwd_kernel_bshd, scale=scale, causal=causal, block_q=bq,
+            d=d, hpb=hpb,
+        )
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, l_ref):
+            _fwd_kernel_bshd(q_ref, k_ref, v_ref, None, o_ref, l_ref,
+                             scale=scale, causal=causal, block_q=bq,
+                             d=d, hpb=hpb)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            qspec,
+            pl.BlockSpec((1, hpb, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    return out.reshape(b, sq, h, d), lse
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +297,124 @@ def _bwd_kernel(
     dv_ref[0, 0] += dv.astype(dv_ref.dtype)
 
 
-def _bwd(causal, scale, block_q, res, g):
+def _bwd_kernel_bshd(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale, causal, block_q, d, hpb):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dqs = []
+    for j in range(hpb):
+        q = q_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        k = k_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        v = v_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        o = o_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        do = do_ref[0, :, j * d:(j + 1) * d].astype(jnp.float32)
+        lse = lse_ref[0, j]  # (BQ, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask_ref is not None:
+            s = jnp.where(mask_ref[0] != 0, s, NEG_INF)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(row >= col, s, NEG_INF)
+        p = jnp.exp(s - lse)  # (BQ, S)
+
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dqs.append(jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_ref[0, :, j * d:(j + 1) * d] += dk.astype(dk_ref.dtype)
+        dv_ref[0, :, j * d:(j + 1) * d] += dv.astype(dv_ref.dtype)
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+
+
+def _bwd_bshd(causal, scale, block_q, res, g):
+    q, k, v, key_mask, out, lse = res
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    hpb = _heads_per_block(d)
+    if hpb == 0 or h % max(hpb, 1):
+        tres = (q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), key_mask,
+                out.transpose(0, 2, 1, 3), lse)
+        dq, dk, dv, _ = _bwd(causal, scale, block_q, False, tres,
+                             g.transpose(0, 2, 1, 3))
+        return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+                dv.transpose(0, 2, 1, 3), None)
+    bq = min(block_q, sq)
+    grid = (b, h // hpb, pl.cdiv(sq, bq))
+    hd = hpb * d
+
+    qspec = pl.BlockSpec((1, bq, hd), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, sk, hd), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM)
+
+    in_specs = [qspec, kspec, kspec]
+    args = [q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
+            v.reshape(b, sk, h * d)]
+    has_mask = key_mask is not None
+    if has_mask:
+        in_specs.append(
+            pl.BlockSpec((1, 1, sk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(key_mask.astype(jnp.int32)[:, None, :])
+    in_specs += [
+        qspec,
+        pl.BlockSpec((1, hpb, bq, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        qspec,
+    ]
+    args += [out.reshape(b, sq, h * d), lse, g.reshape(b, sq, h * d)]
+
+    if has_mask:
+        kernel = functools.partial(_bwd_kernel_bshd, scale=scale, causal=causal,
+                                   block_q=bq, d=d, hpb=hpb)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref):
+            _bwd_kernel_bshd(q_ref, k_ref, v_ref, None, o_ref, lse_ref, do_ref,
+                             dq_ref, dk_ref, dv_ref, scale=scale, causal=causal,
+                             block_q=bq, d=d, hpb=hpb)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+            jax.ShapeDtypeStruct((b, sk, h * d), jnp.float32),
+            jax.ShapeDtypeStruct((b, sk, h * d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    return (dq.reshape(b, sq, h, d),
+            dk.reshape(b, sk, h, d).astype(k.dtype),
+            dv.reshape(b, sk, h, d).astype(v.dtype), None)
+
+
+def _bwd(causal, scale, block_q, bshd, res, g):
+    if bshd:
+        return _bwd_bshd(causal, scale, block_q, res, g)
     q, k, v, key_mask, out, lse = res
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -225,23 +447,19 @@ def _bwd(causal, scale, block_q, res, g):
     args += [out, lse, g]
 
     if has_mask:
-        kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal, block_q=bq)
+        kernel = functools.partial(_bwd_kernel, scale=scale, causal=causal,
+                                   block_q=bq)
     else:
         def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, dq_ref, dk_ref, dv_ref):
             _bwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref, do_ref,
-                        dq_ref, dk_ref, dv_ref, scale=scale, causal=causal, block_q=bq)
+                        dq_ref, dk_ref, dv_ref, scale=scale, causal=causal,
+                        block_q=bq)
 
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            qspec(),
-            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[qspec(), kspec(), kspec()],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
@@ -252,19 +470,19 @@ def _bwd(causal, scale, block_q, res, g):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, key_mask, causal, scale, block_q):
-    out, _ = _fwd(q, k, v, key_mask, causal, scale, block_q)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, key_mask, causal, scale, block_q, bshd):
+    out, _ = _fwd(q, k, v, key_mask, causal, scale, block_q, bshd)
     return out
 
 
-def _flash_fwd(q, k, v, key_mask, causal, scale, block_q):
-    out, lse = _fwd(q, k, v, key_mask, causal, scale, block_q)
+def _flash_fwd(q, k, v, key_mask, causal, scale, block_q, bshd):
+    out, lse = _fwd(q, k, v, key_mask, causal, scale, block_q, bshd)
     return out, (q, k, v, key_mask, out, lse)
 
 
-def _flash_bwd(causal, scale, block_q, res, g):
-    return _bwd(causal, scale, block_q, res, g)
+def _flash_bwd(causal, scale, block_q, bshd, res, g):
+    return _bwd(causal, scale, block_q, bshd, res, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -279,9 +497,19 @@ def flash_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     block_q: int = 256,
+    layout: str = "bhsd",
 ) -> jax.Array:
-    """Fused MHA. q,k,v: (batch, heads, seq, head_dim); key_mask: (batch, seq)
-    with 1 = attend. Returns (batch, heads, seq_q, head_dim) in q.dtype."""
+    """Fused MHA. key_mask: (batch, seq) with 1 = attend.
+
+    ``layout="bhsd"``: q,k,v are (batch, heads, seq, head_dim).
+    ``layout="bshd"``: q,k,v are (batch, seq, heads, head_dim) — the natural
+    output of a QKV projection. The kernel indexes the heads axis in place,
+    which removes the two (B,S,H,D)<->(B,H,S,D) HBM relayouts per attention
+    call (for BERT-Large bs64 s128 that is ~9 GB/step of pure transpose
+    traffic). Output matches the input layout.
+    """
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
-    return _flash(q, k, v, key_mask, causal, scale, block_q)
+    if layout not in ("bhsd", "bshd"):
+        raise ValueError(f"unknown layout {layout!r}")
+    return _flash(q, k, v, key_mask, causal, scale, block_q, layout == "bshd")

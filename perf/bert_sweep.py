@@ -156,8 +156,12 @@ VARIANTS = {
     "rbgbf16": dict(rbg=True, moment_dtype=jnp.bfloat16),
     "rbg96":   dict(rbg=True, moment_dtype=jnp.bfloat16, bs=96),
     "rbg128":  dict(rbg=True, moment_dtype=jnp.bfloat16, bs=128),
-    "s512":    dict(seq=512, max_pred=76, bs=16),
-    "s512r":   dict(seq=512, max_pred=76, bs=32, remat=True),
+    "s512":    dict(seq=512, max_pred=76, bs=16, rbg=True,
+                    moment_dtype=jnp.bfloat16),
+    "s512b32": dict(seq=512, max_pred=76, bs=32, rbg=True,
+                    moment_dtype=jnp.bfloat16),
+    "s512r":   dict(seq=512, max_pred=76, bs=32, remat=True, rbg=True,
+                    moment_dtype=jnp.bfloat16),
     "s512f":   dict(seq=512, max_pred=76, bs=16, flat=True, rbg=True),
     "s512f32": dict(seq=512, max_pred=76, bs=32, flat=True, rbg=True),
 }

@@ -83,3 +83,45 @@ def test_uneven_seq_blocks():
     out = flash_attention(q, k, v, block_q=64)
     ref = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bshd_layout_matches_reference():
+    """bshd layout (no head transpose) must equal the bhsd path and the
+    jnp oracle, forward and backward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeplearningexamples_tpu.ops.flash_attention import (
+        flash_attention, mha_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 4, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(b, s)) | (np.arange(s) < 4),
+                       jnp.int32)
+
+    def to_bhsd(t):
+        return t.transpose(0, 2, 1, 3)
+
+    out_bshd = flash_attention(q, k, v, key_mask=mask, layout="bshd")
+    out_ref = mha_reference(to_bhsd(q), to_bhsd(k), to_bhsd(v), key_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(to_bhsd(out_bshd)), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+    def loss_bshd(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, key_mask=mask, layout="bshd") ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, key_mask=mask) ** 2)
+
+    g_bshd = jax.grad(loss_bshd, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(to_bhsd(q), to_bhsd(k), to_bhsd(v))
+    for a, b_ in zip(g_bshd, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(to_bhsd(a)), np.asarray(b_), atol=5e-4, rtol=5e-4
+        )
