@@ -117,6 +117,7 @@ class EfficientNet(nn.Module):
     arch: EffNetArch = EffNetArch()
     num_classes: int = 1000
     dtype: Any = jnp.bfloat16
+    features_only: bool = False  # return {p3, p4, p5} taps (EfficientDet)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -136,6 +137,7 @@ class EfficientNet(nn.Module):
         in_ch = stem
         total_blocks = sum(arch.scaled_depth(d) for d in arch.depths)
         block_idx = 0
+        feats = {}
         for s, (k, w, d, st, e) in enumerate(
             zip(arch.kernels, arch.widths, arch.depths, arch.strides, arch.expands)
         ):
@@ -151,6 +153,16 @@ class EfficientNet(nn.Module):
                 )(x, train)
                 in_ch = out_ch
                 block_idx += 1
+            # multi-scale taps for detection FPNs (stride 8/16/32 after the
+            # stem's 2): EfficientDet's backbone feature picks
+            if s == 2:
+                feats["p3"] = x
+            elif s == 4:
+                feats["p4"] = x
+            elif s == 6:
+                feats["p5"] = x
+        if self.features_only:
+            return feats
 
         head = arch.scaled_width(1280)
         x = conv(head, (1, 1), name="head_conv")(x)
