@@ -496,7 +496,7 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: float | None = None,
-    block_q: int = 256,
+    block_q: int = 512,
     layout: str = "bhsd",
 ) -> jax.Array:
     """Fused MHA. key_mask: (batch, seq) with 1 = attend.

@@ -36,7 +36,16 @@ def make_batch(bs, seq, vocab, max_pred, rng):
 
 
 def run_variant(name, bs=64, seq=128, max_pred=20, remat=False,
-                moment_dtype=jnp.float32, flat=False, rbg=False, iters=20):
+                moment_dtype=jnp.float32, flat=False, rbg=False, iters=20,
+                block_q=None):
+    if block_q is not None:
+        import functools as _ft
+
+        from deeplearningexamples_tpu.models.bert import modeling as _m
+        from deeplearningexamples_tpu.ops.flash_attention import (
+            flash_attention as _fa_fn,
+        )
+        _m.flash_attention = _ft.partial(_fa_fn, block_q=block_q)
     import dataclasses as dc
 
     from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
@@ -164,6 +173,12 @@ VARIANTS = {
                     moment_dtype=jnp.bfloat16),
     "s512f":   dict(seq=512, max_pred=76, bs=16, flat=True, rbg=True),
     "s512f32": dict(seq=512, max_pred=76, bs=32, flat=True, rbg=True),
+    "s512q512": dict(seq=512, max_pred=76, bs=16, rbg=True,
+                     moment_dtype=jnp.bfloat16, block_q=512),
+    "s512q128": dict(seq=512, max_pred=76, bs=16, rbg=True,
+                     moment_dtype=jnp.bfloat16, block_q=128),
+    "s512b32n": dict(seq=512, max_pred=76, bs=32, rbg=True,
+                     moment_dtype=jnp.bfloat16),
 }
 
 if __name__ == "__main__":

@@ -393,3 +393,41 @@ def test_crop_geometry():
         assert 0 <= x <= 1 - fw + 1e-9 and 0 <= y <= 1 - fh + 1e-9
         aspect = (fw * w) / (fh * h)
         assert 0.70 <= aspect <= 1.43  # 3/4..4/3 with integer rounding slack
+
+
+def test_cli_bert_pretrain_flat_lamb(tmp_path):
+    """--flat-lamb routes through core/flat.py (flat buffer in TrainState,
+    Pallas fused LAMB) and still trains + evals from the CLI."""
+    from deeplearningexamples_tpu.cli.main import cli
+
+    ws = tmp_path / "ws"
+    cli([
+        "bert-pretrain", "--bert-model", "tiny", "--batch-size", "8",
+        "--seq-len", "32", "--max-predictions", "5", "--epochs", "1",
+        "--steps-per-epoch", "3", "--lr", "1e-3", "--workspace", str(ws),
+        "--flat-lamb", "true", "--lamb-moments", "fp32",
+        "--rng-impl", "threefry", "--prof", "3",
+        "--mode", "benchmark-training",
+    ])
+    lines = open(ws / "bert_pretrain_raport.json").read()
+    assert "train.loss" in lines
+
+
+def test_rng_impl_rbg_key_checkpoint_roundtrip(tmp_path):
+    """rbg-keyed TrainState survives an orbax save/restore (the production
+    TPU dropout PRNG must be checkpoint-safe)."""
+    import optax
+
+    from deeplearningexamples_tpu.core.checkpoint import CheckpointManager
+    from deeplearningexamples_tpu.core.train import create_train_state
+
+    params = {"w": jnp.ones((4,))}
+    tx = optax.sgd(0.1)
+    state = create_train_state(params, tx, jax.random.key(7, impl="rbg"))
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(1, state)
+    tmpl = create_train_state(params, tx, jax.random.key(0, impl="rbg"))
+    restored = ckpt.restore(tmpl)
+    np.testing.assert_array_equal(
+        jax.random.key_data(restored.rng), jax.random.key_data(state.rng)
+    )
