@@ -22,7 +22,7 @@ import numpy as np
 import yaml
 
 __all__ = ["FeatureSpec", "CriteoBinaryDataset", "transcode_tsv",
-           "write_synthetic_dataset"]
+           "preprocess_criteo_tsv", "write_synthetic_dataset"]
 
 
 @dataclass
@@ -138,6 +138,98 @@ def transcode_tsv(
     np.asarray(cats, np.int32).tofile(os.path.join(out_dir, "categorical.bin"))
     spec.to_yaml(os.path.join(out_dir, "feature_spec.yaml"))
     return len(labels)
+
+
+def _iter_tsv_rows(tsv_path: str, num_numerical: int, n_cat: int):
+    with open(tsv_path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            want = 1 + num_numerical + n_cat
+            if len(parts) < want:
+                parts = parts + [""] * (want - len(parts))
+            yield parts
+
+
+def preprocess_criteo_tsv(
+    tsv_paths: list[str] | str,
+    out_dir: str,
+    *,
+    frequency_threshold: int = 15,
+    num_numerical: int = 13,
+    n_cat: int = 26,
+    test_split_last: bool = False,
+) -> FeatureSpec:
+    """Full Criteo preprocessing with frequency thresholding.
+
+    The reference's offline stage (``DLRM/preproc/preproc_NVTabular.py`` /
+    the Spark scripts, driven by ``prepare_dataset.sh`` with
+    ``frequency_threshold=15``): per table, category values seen fewer than
+    ``frequency_threshold`` times across the corpus all collapse into one
+    "rare" bucket (id 0); frequent values get dense contiguous ids starting
+    at 1, ordered by descending frequency (most-frequent = 1). The resulting
+    per-table cardinality is ``1 + n_frequent`` — this is what shrinks
+    Criteo 1TB's raw ~800M ids to the 26 table sizes in BASELINE.md.
+
+    Two passes over the TSVs (count, then map+write); the host-side dict
+    counting replaces the reference's Spark cluster for datasets that fit a
+    single node — same semantics, documented scale limit.
+
+    ``tsv_paths`` may be one path or a list (days). With ``test_split_last``
+    the last file becomes ``out_dir/test`` (the reference's
+    last-day-is-eval convention), the rest ``out_dir/train``; otherwise
+    everything lands in ``out_dir`` flat.
+    """
+    if isinstance(tsv_paths, str):
+        tsv_paths = [tsv_paths]
+
+    # pass 1: frequency count per table
+    counts: list[dict] = [{} for _ in range(n_cat)]
+    for path in tsv_paths:
+        for parts in _iter_tsv_rows(path, num_numerical, n_cat):
+            for i, p in enumerate(parts[1 + num_numerical:][:n_cat]):
+                if p:
+                    c = counts[i]
+                    c[p] = c.get(p, 0) + 1
+    vocabs: list[dict] = []
+    cards: list[int] = []
+    for c in counts:
+        frequent = sorted(
+            (k for k, v in c.items() if v >= frequency_threshold),
+            key=lambda k: (-c[k], k),
+        )
+        vocabs.append({k: i + 1 for i, k in enumerate(frequent)})
+        cards.append(1 + len(frequent))
+    spec = FeatureSpec(categorical_cardinalities=cards,
+                       num_numerical=num_numerical)
+
+    # pass 2: map + write binary splits
+    def write_split(paths: list[str], directory: str) -> int:
+        os.makedirs(directory, exist_ok=True)
+        labels, nums, cats = [], [], []
+        for path in paths:
+            for parts in _iter_tsv_rows(path, num_numerical, n_cat):
+                labels.append(float(parts[0] or 0))
+                nums.append([float(p) if p else 0.0
+                             for p in parts[1:1 + num_numerical]])
+                cats.append([
+                    vocabs[i].get(p, 0)
+                    for i, p in enumerate(parts[1 + num_numerical:][:n_cat])
+                ])
+        np.asarray(labels, np.float32).tofile(
+            os.path.join(directory, "label.bin"))
+        np.asarray(nums, np.float32).tofile(
+            os.path.join(directory, "numerical.bin"))
+        np.asarray(cats, np.int32).tofile(
+            os.path.join(directory, "categorical.bin"))
+        spec.to_yaml(os.path.join(directory, "feature_spec.yaml"))
+        return len(labels)
+
+    if test_split_last and len(tsv_paths) > 1:
+        write_split(tsv_paths[:-1], os.path.join(out_dir, "train"))
+        write_split(tsv_paths[-1:], os.path.join(out_dir, "test"))
+    else:
+        write_split(tsv_paths, out_dir)
+    return spec
 
 
 def write_synthetic_dataset(

@@ -296,3 +296,40 @@ def test_criteo_sharding(tmp_path):
     a = CriteoBinaryDataset(str(tmp_path / "d"), spec, 10, shard=(0, 2))
     b = CriteoBinaryDataset(str(tmp_path / "d"), spec, 10, shard=(1, 2))
     assert a.stop == 50 and b.start == 50 and b.stop == 100
+
+
+def test_criteo_frequency_threshold_preproc(tmp_path):
+    from deeplearningexamples_tpu.data.criteo import preprocess_criteo_tsv
+
+    # table 0: "aa" x3, "bb" x1; table 1: "cc" x2, "dd" x2
+    day0 = tmp_path / "day_0"
+    day0.write_text(
+        "1\t1\taa\tcc\n"
+        "0\t2\taa\tdd\n"
+        "1\t3\tbb\tcc\n"
+    )
+    day1 = tmp_path / "day_1"
+    day1.write_text("0\t4\taa\tdd\n")
+    spec = preprocess_criteo_tsv(
+        [str(day0), str(day1)], str(tmp_path / "out"),
+        frequency_threshold=2, num_numerical=1, n_cat=2,
+        test_split_last=True,
+    )
+    # table 0: only "aa" (3 >= 2) survives -> card 2; "bb" -> rare bucket 0
+    # table 1: "cc" and "dd" both x2 -> card 3
+    assert spec.categorical_cardinalities == [2, 3]
+    train = CriteoBinaryDataset(
+        str(tmp_path / "out" / "train"), spec, batch_size=3,
+    )
+    b = next(iter(train))
+    # "aa" -> 1 (most frequent), "bb" -> 0 (rare)
+    assert b["categorical"][:, 0].tolist() == [1, 1, 0]
+    # "cc"/"dd" tie at 2 -> lexicographic: cc=1, dd=2
+    assert b["categorical"][:, 1].tolist() == [1, 2, 1]
+    test = CriteoBinaryDataset(
+        str(tmp_path / "out" / "test"), spec, batch_size=1,
+        drop_last=False,
+    )
+    tb = next(iter(test))
+    assert tb["categorical"].tolist() == [[1, 2]]
+    assert tb["label"].tolist() == [0.0]
