@@ -67,6 +67,9 @@ class CommonConfig:
     # threefry elsewhere; bitwise reproducibility across backends needs
     # --rng-impl threefry
     rng_impl: str = "auto"  # auto | rbg | threefry
+    # "" (fp) or "qat": int8 fake-quant convs during training (reference
+    # ConvNets quantization.py; fine-tune from an fp32 --resume checkpoint)
+    quant_policy: str = ""
 
 
 def _make_schedule(cfg: CommonConfig, steps_per_epoch: int):
@@ -142,14 +145,20 @@ def _maybe_resume(cfg: CommonConfig, ckpt: CheckpointManager, state,
 
 def run_convnet(arch: str, cfg: CommonConfig) -> None:
     from ..data.synthetic import SyntheticImageLoader
-    from ..models.convnets import EFFNET_ARCHS, ClassificationTask, build_model
+    from ..models.convnets import (
+        EFFNET_ARCHS, GPUNET_ARCHS, ClassificationTask, build_model,
+    )
 
     mesh, logger = _common_setup(cfg, arch)
-    image_size = (
-        EFFNET_ARCHS[arch].resolution if arch in EFFNET_ARCHS else 224
-    )
+    if arch in EFFNET_ARCHS:
+        image_size = EFFNET_ARCHS[arch].resolution
+    elif arch in GPUNET_ARCHS:
+        image_size = GPUNET_ARCHS[arch].resolution
+    else:
+        image_size = 224
     task = ClassificationTask(
-        build_model(arch, 1000, _dtype(cfg)),
+        build_model(arch, 1000, _dtype(cfg),
+                    quantized=cfg.quant_policy == "qat"),
         label_smoothing=cfg.label_smoothing,
         mixup_alpha=cfg.mixup,
         num_classes=1000,
@@ -694,6 +703,9 @@ MODELS = {
     "se-resnext101-32x4d": lambda cfg: run_convnet("se-resnext101-32x4d", cfg),
     "efficientnet-b0": lambda cfg: run_convnet("efficientnet-b0", cfg),
     "efficientnet-b4": lambda cfg: run_convnet("efficientnet-b4", cfg),
+    "gpunet-0": lambda cfg: run_convnet("gpunet-0", cfg),
+    "gpunet-1": lambda cfg: run_convnet("gpunet-1", cfg),
+    "gpunet-2": lambda cfg: run_convnet("gpunet-2", cfg),
     "ssd300": run_ssd,
     "efficientdet": run_efficientdet,
     "maskrcnn": run_maskrcnn,

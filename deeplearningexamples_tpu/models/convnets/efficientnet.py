@@ -74,10 +74,14 @@ class MBConvBlock(nn.Module):
     stride: int
     survival_prob: float
     dtype: Any
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+        if self.quantized:
+            from .quant import QATConv
+        conv = partial(QATConv if self.quantized else nn.Conv,
+                       use_bias=False, dtype=self.dtype,
                        kernel_init=nn.initializers.variance_scaling(
                            2.0, "fan_out", "normal"))
         norm = partial(nn.BatchNorm, use_running_average=not train,
@@ -118,11 +122,15 @@ class EfficientNet(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.bfloat16
     features_only: bool = False  # return {p3, p4, p5} taps (EfficientDet)
+    quantized: bool = False  # QAT fake-quant convs (reference EffNet QAT)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         arch = self.arch
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+        if self.quantized:
+            from .quant import QATConv
+        conv = partial(QATConv if self.quantized else nn.Conv,
+                       use_bias=False, dtype=self.dtype,
                        kernel_init=nn.initializers.variance_scaling(
                            2.0, "fan_out", "normal"))
         norm = partial(nn.BatchNorm, use_running_average=not train,
@@ -149,7 +157,7 @@ class EfficientNet(nn.Module):
                 )
                 x = MBConvBlock(
                     arch, k, in_ch, out_ch, e, st if j == 0 else 1, sp,
-                    self.dtype, name=f"stage{s}_{j}",
+                    self.dtype, self.quantized, name=f"stage{s}_{j}",
                 )(x, train)
                 in_ch = out_ch
                 block_idx += 1

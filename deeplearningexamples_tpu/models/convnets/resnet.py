@@ -137,11 +137,15 @@ class ResNet(nn.Module):
     arch: ResNetArch = ResNetArch()
     num_classes: int = 1000
     dtype: Any = jnp.bfloat16
+    quantized: bool = False  # QAT: int8 fake-quant convs (same param tree)
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_features: bool = False):
+        if self.quantized:
+            from .quant import QATConv
         conv = partial(
-            nn.Conv, use_bias=False, dtype=self.dtype,
+            QATConv if self.quantized else nn.Conv,
+            use_bias=False, dtype=self.dtype,
             kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         )
         norm = partial(

@@ -26,7 +26,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["quantize_per_channel", "quantize_activations", "int8_matmul",
-           "dequantize"]
+           "dequantize", "fake_quantize", "fake_quantize_per_tensor"]
+
+
+@jax.custom_vjp
+def _ste_round(x):
+    return jnp.round(x)
+
+
+def _ste_round_fwd(x):
+    return jnp.round(x), None
+
+
+def _ste_round_bwd(_, g):
+    return (g,)  # straight-through: d round/dx := 1
+
+
+_ste_round.defvjp(_ste_round_fwd, _ste_round_bwd)
+
+
+def fake_quantize(w: jax.Array, axis: int = -1) -> jax.Array:
+    """QAT fake-quant, per-channel symmetric int8 (reference QAT's
+    pytorch-quantization ``QuantConv2d`` weight quantizer,
+    ``image_classification/quantization.py:31,124``).
+
+    Forward: quantize-dequantize through the int8 grid. Backward:
+    straight-through (round passes gradient; amax is detached, matching
+    the reference's calibrated-constant amax)."""
+    axis = axis % w.ndim
+    reduce_axes = tuple(i for i in range(w.ndim) if i != axis)
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes,
+                     keepdims=True)
+    scale = jax.lax.stop_gradient(jnp.maximum(absmax, 1e-8) / 127.0)
+    q = jnp.clip(_ste_round(w.astype(jnp.float32) / scale), -127, 127)
+    return (q * scale).astype(w.dtype)
+
+
+def fake_quantize_per_tensor(x: jax.Array) -> jax.Array:
+    """QAT fake-quant for activations: dynamic per-tensor symmetric int8
+    (the reference calibrates a per-tensor amax; dynamic absmax is the
+    calibration-free equivalent and an upper bound on its precision)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jax.lax.stop_gradient(jnp.maximum(absmax, 1e-8) / 127.0)
+    q = jnp.clip(_ste_round(x.astype(jnp.float32) / scale), -127, 127)
+    return (q * scale).astype(x.dtype)
 
 
 def quantize_per_channel(w: jax.Array, axis: int = 1):

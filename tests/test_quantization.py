@@ -52,3 +52,58 @@ def test_int8_matmul_close_to_fp32():
     out_f = x @ w
     rel = float(jnp.linalg.norm(out_q - out_f) / jnp.linalg.norm(out_f))
     assert rel < 0.02  # <2% relative error for well-scaled int8
+
+
+def test_fake_quantize_ste():
+    from deeplearningexamples_tpu.ops.quantization import fake_quantize
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    fq = fake_quantize(w, -1)
+    # quantize-dequantize error bounded by half a step per channel
+    absmax = np.abs(np.asarray(w)).max(axis=(0, 1, 2))
+    step = absmax / 127.0
+    err = np.abs(np.asarray(fq) - np.asarray(w))
+    assert (err <= step[None, None, None, :] / 2 + 1e-6).all()
+    # straight-through: gradient of sum(fq) wrt w is 1 except at the clip
+    # boundary (the per-channel absmax element ties maximum/minimum -> 0.5)
+    g = np.asarray(jax.grad(lambda w: jnp.sum(fake_quantize(w, -1)))(w))
+    assert ((g == 1.0) | (g == 0.5)).all()
+    # only the per-channel absmax elements sit on the clip boundary
+    assert (g == 1.0).mean() >= 1.0 - 16 / g.size - 1e-9
+
+
+def test_qat_resnet_trains_and_shares_param_tree():
+    import optax
+
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.convnets import (
+        ARCHS, ClassificationTask, ResNet,
+    )
+
+    arch = ARCHS["resnet18"]
+    fp = ResNet(arch, num_classes=10, dtype=jnp.float32)
+    q = ResNet(arch, num_classes=10, dtype=jnp.float32, quantized=True)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    vfp = fp.init(jax.random.key(0), x, train=False)
+    vq = q.init(jax.random.key(0), x, train=False)
+    # QAT must not change the parameter tree (fp32 ckpt -> QAT fine-tune)
+    assert jax.tree_util.tree_structure(vfp["params"]) == \
+        jax.tree_util.tree_structure(vq["params"])
+
+    task = ClassificationTask(q, num_classes=10)
+    params, mstate = task.init(jax.random.key(0), (32, 32, 3))
+    tx = optax.sgd(0.05, momentum=0.9)
+    state = create_train_state(params, tx, jax.random.key(1), mstate)
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 10, 8).astype(np.int32)),
+    }
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
