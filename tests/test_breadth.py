@@ -348,3 +348,42 @@ def test_bart_denoising():
         state, m = step(state, jax.tree.map(jnp.asarray, b))
         losses.append(float(m["loss"]))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8
+
+
+def test_gpunet_archs_forward():
+    from deeplearningexamples_tpu.models.convnets import GPUNET_ARCHS, GPUNet
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for name, arch in GPUNET_ARCHS.items():
+        m = GPUNet(arch, num_classes=10, dtype=jnp.float32)
+        variables = m.init(jax.random.key(0), x, train=False)
+        y = m.apply(variables, x, train=False)
+        assert y.shape == (1, 10), name
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+        assert n_params > 1e6, (name, n_params)
+
+
+def test_gpunet_trains():
+    import optax
+
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.convnets import (
+        ClassificationTask, build_model,
+    )
+
+    task = ClassificationTask(build_model("gpunet-0", 10, jnp.float32),
+                              num_classes=10)
+    params, mstate = task.init(jax.random.key(0), (64, 64, 3))
+    tx = optax.sgd(0.05, momentum=0.9)
+    state = create_train_state(params, tx, jax.random.key(1), mstate)
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 64, 64, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 10, 4).astype(np.int32)),
+    }
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
