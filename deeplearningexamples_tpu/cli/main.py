@@ -697,6 +697,60 @@ def run_maskrcnn(cfg: CommonConfig) -> None:
     )
 
 
+def run_tft(cfg: CommonConfig) -> None:
+    """TFT forecasting through the time-series platform (reference
+    ``Tools/PyTorch/TimeSeriesPredictionPlatform/launch_training.py``):
+    windowed panel data -> quantile training -> test-split metric suite
+    (MAE/RMSE/SMAPE/ND/P50/P90)."""
+    import optax
+
+    from ..data.timeseries import (
+        TimeSeriesSpec, WindowedTimeSeriesDataset, forecast_metrics,
+        make_synthetic_series,
+    )
+    from ..models.tft import TFTConfig, TFTTask
+
+    mesh, logger = _common_setup(cfg, "tft")
+    if cfg.data_backend == "npy":
+        panel = np.load(f"{cfg.data_dir}/panel.npy")  # (series, steps, cols)
+    else:
+        panel = make_synthetic_series()
+    spec = TimeSeriesSpec(observed=(0, 1), known=(2, 3), target=0,
+                          encoder_length=168, horizon=24)
+    tcfg = TFTConfig(n_observed=len(spec.observed), n_known=len(spec.known),
+                     encoder_len=spec.encoder_length, horizon=spec.horizon)
+    task = TFTTask(tcfg)
+    loader = WindowedTimeSeriesDataset(panel, spec, cfg.batch_size,
+                                       split="train", seed=cfg.seed)
+    params, _ = task.init(jax.random.key(cfg.seed))
+    total = cfg.epochs * len(loader)
+    sched = opt.lr_poly_warmup(cfg.lr or 1e-3, max(total // 20, 1), total)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    state = create_train_state(params, tx, _train_key(cfg), {})
+    ckpt = CheckpointManager(f"{cfg.workspace}/tft_ckpt")
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    state, _ = train_loop(
+        state, train_step, lambda: prefetch_to_device(loader, mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size, start_epoch=start_epoch,
+    )
+    # test-split evaluation with the TSPP metric suite
+    test = WindowedTimeSeriesDataset(panel, spec, cfg.batch_size, split="test",
+                                     seed=cfg.seed)
+    infer = jax.jit(lambda p, o, k: task.model.apply(
+        {"params": p}, o, k, deterministic=True))
+    preds, targets = [], []
+    for batch in test:
+        preds.append(np.asarray(infer(state.params, batch["observed"],
+                                      batch["known"])))
+        targets.append(batch["target"])
+    if preds:
+        m = forecast_metrics(np.concatenate(preds), np.concatenate(targets),
+                             tcfg.quantiles)
+        logger.log((), {f"test.{k}": v for k, v in m.items()})
+
+
 MODELS = {
     "resnet50": lambda cfg: run_convnet("resnet50", cfg),
     "resnext101-32x4d": lambda cfg: run_convnet("resnext101-32x4d", cfg),
@@ -714,6 +768,7 @@ MODELS = {
     "dlrm": run_dlrm,
     "transformer": run_transformer,
     "ncf": run_ncf,
+    "tft": run_tft,
     "tacotron2": lambda cfg: run_tts("tacotron2", cfg),
     "waveglow": lambda cfg: run_tts("waveglow", cfg),
 }
