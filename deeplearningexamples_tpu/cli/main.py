@@ -751,6 +751,129 @@ def run_tft(cfg: CommonConfig) -> None:
         logger.log((), {f"test.{k}": v for k, v in m.items()})
 
 
+@dataclasses.dataclass
+class BartCliConfig(CommonConfig):
+    task: str = "summarize"  # summarize | pretrain (denoising)
+    vocab_file: str = ""  # WordPiece vocab; "" = build from the corpus
+    max_source_len: int = 128
+    max_target_len: int = 32
+    beam_size: int = 4
+
+
+def _corpus_vocab(paths: list[str]) -> dict:
+    """Whitespace-word vocab with the Transformer's special ids
+    (bos 0 / pad 1 / eos 2 / unk+mask 3) — the synthetic-corpus stand-in
+    for the reference's shipped BPE vocab."""
+    vocab = {"<s>": 0, "[PAD]": 1, "</s>": 2, "[UNK]": 3}
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                for w in line.lower().split():
+                    if w not in vocab:
+                        vocab[w] = len(vocab)
+    return vocab
+
+
+def run_bart(cfg: BartCliConfig) -> None:
+    """BART (reference ``LanguageModeling/BART``): denoising pretrain or
+    CNN-DM-layout summarization fine-tune with beam-decoded ROUGE eval
+    (``finetune.py`` + ``utils/calculate_rouge.py`` roles)."""
+    import optax
+
+    from ..data.summarization import (
+        SummarizationDataset, rouge_scores, write_synthetic_summarization,
+    )
+    from ..data.tokenization import BertTokenizer
+    from ..models.bart import BartTask
+    from ..models.translation import TransformerConfig, beam_search_cached
+
+    mesh, logger = _common_setup(cfg, "bart")
+    data_dir = cfg.data_dir
+    if cfg.data_backend == "synthetic" or not data_dir:
+        data_dir = f"{cfg.workspace}/bart_synth"
+        write_synthetic_summarization(data_dir, seed=cfg.seed)
+    vocab = cfg.vocab_file or _corpus_vocab(
+        [f"{data_dir}/train.source", f"{data_dir}/train.target"]
+    )
+    tok = BertTokenizer(vocab)
+    n_vocab = len(tok.vocab)
+    tcfg = TransformerConfig(
+        vocab_size=n_vocab, d_model=256, d_ff=1024, num_heads=4,
+        encoder_layers=3, decoder_layers=3,
+        # +2: denoising targets are the full source plus BOS/EOS
+        max_len=max(cfg.max_source_len, cfg.max_target_len) + 2,
+    )
+    task = BartTask(tcfg, _dtype(cfg))
+
+    if cfg.task == "pretrain":
+        # denoising over the corpus lines as documents
+        with open(f"{data_dir}/train.source") as f:
+            docs = [np.asarray(tok.convert_tokens_to_ids(tok.tokenize(line)),
+                               np.int32) for line in f]
+        rng = np.random.default_rng(cfg.seed)
+
+        def gen():
+            while True:
+                picks = rng.choice(len(docs), cfg.batch_size)
+                yield task.make_denoising_batch(
+                    [docs[i] for i in picks], cfg.max_source_len, rng)
+
+        it = gen()
+        loader = [next(it) for _ in range(cfg.steps_per_epoch)]
+    else:
+        loader = SummarizationDataset(
+            data_dir, "train", tok, cfg.batch_size,
+            max_source_len=cfg.max_source_len,
+            max_target_len=cfg.max_target_len,
+        )
+    params, mstate = task.init(jax.random.key(cfg.seed))
+    total = cfg.epochs * len(loader)
+    sched = opt.lr_poly_warmup(cfg.lr or 1e-3, max(total // 20, 1), total)
+    tx = optax.adamw(sched, weight_decay=0.01)
+    state = create_train_state(params, tx, _train_key(cfg), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/bart_ckpt")
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    state, _ = train_loop(
+        state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size, start_epoch=start_epoch,
+    )
+
+    if cfg.task == "summarize":
+        # beam-decode the val split, report corpus ROUGE
+        val = SummarizationDataset(
+            data_dir, "val", tok, cfg.batch_size,
+            max_source_len=cfg.max_source_len,
+            max_target_len=cfg.max_target_len, shuffle=False,
+        )
+        model = task.model
+        beam = cfg.beam_size
+        hyps, refs = [], []
+        for batch in val:
+            memory, memory_mask = model.apply(
+                {"params": state.params}, jnp.asarray(batch["src"]),
+                method=model.encode,
+            )
+            seqs, _ = beam_search_cached(
+                model, state.params,
+                jnp.repeat(memory, beam, axis=0),
+                jnp.repeat(memory_mask, beam, axis=0),
+                batch["src"].shape[0], beam,
+                max_len=cfg.max_target_len + 2, bos_id=tcfg.bos_id,
+                eos_id=tcfg.eos_id, pad_id=tcfg.pad_id,
+            )
+            best = np.asarray(seqs[:, 0])
+            for row, tgt in zip(best, batch["tgt"]):
+                hyps.append([t for t in row.tolist()
+                             if t not in (tcfg.bos_id, tcfg.eos_id, tcfg.pad_id)])
+                refs.append([t for t in tgt.tolist()
+                             if t not in (tcfg.bos_id, tcfg.eos_id, tcfg.pad_id)])
+        if hyps:
+            scores = rouge_scores(hyps, refs)
+            logger.log((), {f"val.{k}": v for k, v in scores.items()})
+
+
 MODELS = {
     "resnet50": lambda cfg: run_convnet("resnet50", cfg),
     "resnext101-32x4d": lambda cfg: run_convnet("resnext101-32x4d", cfg),
@@ -769,11 +892,13 @@ MODELS = {
     "transformer": run_transformer,
     "ncf": run_ncf,
     "tft": run_tft,
+    "bart": run_bart,
     "tacotron2": lambda cfg: run_tts("tacotron2", cfg),
     "waveglow": lambda cfg: run_tts("waveglow", cfg),
 }
 
 _CONFIG_CLS = {"bert-pretrain": BertCliConfig, "dlrm": DlrmCliConfig,
+               "bart": BartCliConfig,
                "bert-squad": SquadCliConfig}
 
 ALIASES = {
