@@ -28,6 +28,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops import flash_attention
 
@@ -132,10 +133,27 @@ class BertSelfAttention(nn.Module):
         # (B, S, 3, H, D) slices feed the kernel in bshd layout — no
         # (B,H,S,D) transpose is ever materialized (~9 GB/step saved at bs64)
         qkv = qkv.reshape(b, s, 3, h, hd)
-        ctx = flash_attention(
-            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-            key_mask=attention_mask, layout="bshd",
-        )
+        if not deterministic and cfg.attention_dropout > 0.0:
+            # reference drops attention PROBABILITIES (modeling.py:355);
+            # the flash kernel has no prob-dropout path, so training takes
+            # the masked-softmax route (probs materialized, remat'd away)
+            q = qkv[:, :, 0].transpose(0, 2, 1, 3).astype(jnp.float32)
+            k = qkv[:, :, 1].transpose(0, 2, 1, 3).astype(jnp.float32)
+            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+            logits = jnp.where(attention_mask[:, None, None, :] > 0,
+                               logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(cfg.attention_dropout)(
+                probs, deterministic=False
+            )
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+            ctx = ctx.transpose(0, 2, 1, 3)
+        else:
+            ctx = flash_attention(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                key_mask=attention_mask, layout="bshd",
+            )
         ctx = ctx.reshape(b, s, cfg.hidden_size)
         out = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="output")(ctx)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)

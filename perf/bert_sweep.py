@@ -52,7 +52,7 @@ def run_variant(name, bs=64, seq=128, max_pred=20, remat=False,
     from deeplearningexamples_tpu.models.bert import BERT_CONFIGS, BertPretrainTask
     from deeplearningexamples_tpu.ops.lamb import lamb
 
-    bcfg = dc.replace(BERT_CONFIGS["large"], remat=remat)
+    bcfg = dc.replace(BERT_CONFIGS["large"], remat=remat, attention_dropout=0.0)
     task = BertPretrainTask(bcfg, jnp.bfloat16, max_predictions=max_pred)
     params, mstate = task.init(jax.random.key(0), seq_len=seq)
     tx = lamb(lambda c: 6e-3, weight_decay=0.01, moment_dtype=moment_dtype)
@@ -94,7 +94,7 @@ def run_parts(bs=64, seq=128, max_pred=20, iters=20):
     from deeplearningexamples_tpu.models.bert import BERT_CONFIGS, BertPretrainTask
     from deeplearningexamples_tpu.ops.lamb import lamb
 
-    bcfg = dc.replace(BERT_CONFIGS["large"])
+    bcfg = dc.replace(BERT_CONFIGS["large"], attention_dropout=0.0)
     task = BertPretrainTask(bcfg, jnp.bfloat16, max_predictions=max_pred)
     params, _ = task.init(jax.random.key(0), seq_len=seq)
     rng = np.random.default_rng(0)

@@ -159,3 +159,38 @@ def test_multiple_choice_head():
     lg = model.apply({"params": state.params}, ids, jnp.ones_like(ids),
                      jnp.zeros_like(ids))
     assert (jnp.argmax(lg, -1) == labels).all()
+
+
+def test_attention_dropout_applied_in_training():
+    """With attention_dropout > 0 the training path must (a) actually
+    randomize (two rngs give different loss) and (b) agree with the flash
+    path when the rate is 0 (ADVICE round-1: the field was silently dead)."""
+    import dataclasses as dc
+
+    from deeplearningexamples_tpu.models.bert import BERT_CONFIGS
+    from deeplearningexamples_tpu.models.bert.modeling import BertModel
+
+    cfg = dc.replace(
+        BERT_CONFIGS["base"], num_layers=2, hidden_size=64, num_heads=2,
+        intermediate_size=128, vocab_size=100, hidden_dropout=0.0,
+        attention_dropout=0.5,
+    )
+    model = BertModel(cfg, jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, (2, 16)),
+                      jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    tt = jnp.zeros((2, 16), jnp.int32)
+    variables = model.init(jax.random.key(0), ids, mask, tt,
+                           deterministic=True)
+    o1 = model.apply(variables, ids, mask, tt, deterministic=False,
+                     rngs={"dropout": jax.random.key(1)})[0]
+    o2 = model.apply(variables, ids, mask, tt, deterministic=False,
+                     rngs={"dropout": jax.random.key(2)})[0]
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    # rate 0: training path falls back to flash and matches deterministic
+    cfg0 = dc.replace(cfg, attention_dropout=0.0)
+    model0 = BertModel(cfg0, jnp.float32)
+    det = model0.apply(variables, ids, mask, tt, deterministic=True)[0]
+    trn = model0.apply(variables, ids, mask, tt, deterministic=False,
+                       rngs={"dropout": jax.random.key(3)})[0]
+    np.testing.assert_allclose(np.asarray(det), np.asarray(trn), atol=1e-5)
