@@ -134,7 +134,9 @@ class DecoderCell(nn.Module):
         energies = jnp.where(mask, energies, -1e9)
         attn_w = jax.nn.softmax(energies.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn_w_cum = attn_w_cum + attn_w
-        context = jnp.einsum("bt,bte->be", attn_w, memory)
+        # cast: under bf16 the einsum can promote (memory may be fp32 from
+        # the encoder's fp32 mask math), and scan carries must keep dtype
+        context = jnp.einsum("bt,bte->be", attn_w, memory).astype(self.dtype)
 
         # decoder LSTM
         dec_in = jnp.concatenate([attn_h, context], axis=-1)

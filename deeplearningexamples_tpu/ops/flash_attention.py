@@ -87,7 +87,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, b
     l_ref[0, 0] = m + jnp.log(l)
 
 
-def _fwd(q, k, v, key_mask, causal, scale, block_q, bshd=False):
+def _fwd(q, k, v, key_mask, causal, scale, block_q, bshd=False, block_k=None):
+    if block_k is not None:
+        if bshd:
+            # long-context regime is compute-bound; the one-time transpose
+            # is negligible next to O(S^2) attention work
+            tq, tk, tv = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            out, lse = _fwd_kblk(tq, tk, tv, key_mask, causal, scale,
+                                 block_q, block_k)
+            return out.transpose(0, 2, 1, 3), lse
+        return _fwd_kblk(q, k, v, key_mask, causal, scale, block_q, block_k)
     if bshd:
         return _fwd_bshd(q, k, v, key_mask, causal, scale, block_q)
     b, h, sq, d = q.shape
@@ -132,6 +141,282 @@ def _fwd(q, k, v, key_mask, causal, scale, block_q, bshd=False):
         interpret=_interpret(),
     )(*args)
     return out, lse
+
+
+# ---------------------------------------------------------------------------
+# K-blocked forward: online softmax over key blocks (long-context path)
+# ---------------------------------------------------------------------------
+#
+# The single-block kernels above stream the WHOLE key range into VMEM per
+# (batch, head) — ideal at BERT lengths, but it caps sequence length at a
+# few K tokens (K/V + the (BQ, S) score block must fit VMEM). With
+# ``block_k`` set, the grid gains an innermost key-block dimension and the
+# kernel keeps flash attention's running (m, l, acc) statistics in VMEM
+# scratch across key blocks — memory per program becomes O(BQ*BK + BQ*D)
+# independent of S. This is the canonical TPU flash decomposition: the
+# sequential innermost grid dimension makes scratch carry legal.
+
+
+def _fwd_kernel_kblk(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref,
+                     m_scr, l_scr, acc_scr, *, scale, causal, block_q,
+                     block_k):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
+    v = v_ref[0, 0].astype(jnp.float32)  # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0] != 0, s, NEG_INF)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(row >= col, s, NEG_INF)
+
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_scr[...] = l_scr[...] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[...] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scr[...]
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        l_ref[0, 0] = m_scr[...] + jnp.log(l)
+
+
+def _fwd_kblk(q, k, v, key_mask, causal, scale, block_q, block_k):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq = min(block_q, sq)
+    bk = min(block_k, sk)
+    grid = (b, h, pl.cdiv(sq, bq), pl.cdiv(sk, bk))
+
+    qspec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM)
+
+    in_specs = [qspec, kspec, kspec]
+    args = [q, k, v]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bk), lambda bi, hi, qi, ki: (bi, ki),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(key_mask.astype(jnp.int32))
+        kernel = functools.partial(_fwd_kernel_kblk, scale=scale,
+                                   causal=causal, block_q=bq, block_k=bk)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, l_ref, m_scr, l_scr, acc_scr):
+            _fwd_kernel_kblk(q_ref, k_ref, v_ref, None, o_ref, l_ref,
+                             m_scr, l_scr, acc_scr, scale=scale,
+                             causal=causal, block_q=bq, block_k=bk)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            qspec,
+            pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    return out, lse
+
+
+def _bwd_kernel_kblk_dq(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
+                        dq_ref, dq_scr, *, scale, causal, block_q, block_k):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0] != 0, s, NEG_INF)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(row >= col, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq_scr[...] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_kernel_kblk_dkv(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                         do_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                         scale, causal, block_q, block_k):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if mask_ref is not None:
+        s = jnp.where(mask_ref[0] != 0, s, NEG_INF)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(row >= col, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+    dv_scr[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_kblk(causal, scale, block_q, block_k, res, g):
+    q, k, v, key_mask, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bq = min(block_q, sq)
+    bk = min(block_k, sk)
+
+    qspec4 = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    kspec4 = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
+                          memory_space=pltpu.VMEM)
+    lspec4 = pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
+                          memory_space=pltpu.VMEM)
+    mspec4 = pl.BlockSpec((1, bk), lambda bi, hi, qi, ki: (bi, ki),
+                          memory_space=pltpu.VMEM)
+    has_mask = key_mask is not None
+    mask_arg = [key_mask.astype(jnp.int32)] if has_mask else []
+
+    # dq: grid (b, h, qi, ki) — ki innermost accumulates into scratch
+    in_specs = [qspec4, kspec4, kspec4] + ([mspec4] if has_mask else []) \
+        + [qspec4, lspec4, qspec4]
+    if has_mask:
+        dq_kernel = functools.partial(_bwd_kernel_kblk_dq, scale=scale,
+                                      causal=causal, block_q=bq, block_k=bk)
+    else:
+        def dq_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                      dq_ref, dq_scr):
+            _bwd_kernel_kblk_dq(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+                                do_ref, dq_ref, dq_scr, scale=scale,
+                                causal=causal, block_q=bq, block_k=bk)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h, pl.cdiv(sq, bq), pl.cdiv(sk, bk)),
+        in_specs=in_specs,
+        out_specs=qspec4,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=_interpret(),
+    )(q, k, v, *mask_arg, out, lse, g)
+
+    # dk/dv: grid (b, h, ki, qi) — qi innermost accumulates into scratch
+    qspec_t = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                           memory_space=pltpu.VMEM)
+    kspec_t = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+                           memory_space=pltpu.VMEM)
+    lspec_t = pl.BlockSpec((1, 1, bq, 1), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+                           memory_space=pltpu.VMEM)
+    mspec_t = pl.BlockSpec((1, bk), lambda bi, hi, ki, qi: (bi, ki),
+                           memory_space=pltpu.VMEM)
+    in_specs2 = [qspec_t, kspec_t, kspec_t] + ([mspec_t] if has_mask else []) \
+        + [qspec_t, lspec_t, qspec_t]
+    if has_mask:
+        dkv_kernel = functools.partial(_bwd_kernel_kblk_dkv, scale=scale,
+                                       causal=causal, block_q=bq, block_k=bk)
+    else:
+        def dkv_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                       dk_ref, dv_ref, dk_scr, dv_scr):
+            _bwd_kernel_kblk_dkv(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+                                 do_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                                 scale=scale, causal=causal, block_q=bq,
+                                 block_k=bk)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, h, pl.cdiv(sk, bk), pl.cdiv(sq, bq)),
+        in_specs=in_specs2,
+        out_specs=[kspec_t, kspec_t],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, *mask_arg, out, lse, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +639,7 @@ def _bwd_bshd(causal, scale, block_q, res, g):
         tres = (q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), key_mask,
                 out.transpose(0, 2, 1, 3), lse)
-        dq, dk, dv, _ = _bwd(causal, scale, block_q, False, tres,
+        dq, dk, dv, _ = _bwd(causal, scale, block_q, False, None, tres,
                              g.transpose(0, 2, 1, 3))
         return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
                 dv.transpose(0, 2, 1, 3), None)
@@ -412,7 +697,18 @@ def _bwd_bshd(causal, scale, block_q, res, g):
             dv.reshape(b, sk, h, d).astype(v.dtype), None)
 
 
-def _bwd(causal, scale, block_q, bshd, res, g):
+def _bwd(causal, scale, block_q, bshd, block_k, res, g):
+    if block_k is not None:
+        if bshd:
+            q, k, v, key_mask, out, lse = res
+            tres = (q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), key_mask,
+                    out.transpose(0, 2, 1, 3), lse)
+            dq, dk, dv, _ = _bwd_kblk(causal, scale, block_q, block_k, tres,
+                                      g.transpose(0, 2, 1, 3))
+            return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+                    dv.transpose(0, 2, 1, 3), None)
+        return _bwd_kblk(causal, scale, block_q, block_k, res, g)
     if bshd:
         return _bwd_bshd(causal, scale, block_q, res, g)
     q, k, v, key_mask, out, lse = res
@@ -470,19 +766,19 @@ def _bwd(causal, scale, block_q, bshd, res, g):
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, key_mask, causal, scale, block_q, bshd):
-    out, _ = _fwd(q, k, v, key_mask, causal, scale, block_q, bshd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, key_mask, causal, scale, block_q, bshd, block_k):
+    out, _ = _fwd(q, k, v, key_mask, causal, scale, block_q, bshd, block_k)
     return out
 
 
-def _flash_fwd(q, k, v, key_mask, causal, scale, block_q, bshd):
-    out, lse = _fwd(q, k, v, key_mask, causal, scale, block_q, bshd)
+def _flash_fwd(q, k, v, key_mask, causal, scale, block_q, bshd, block_k):
+    out, lse = _fwd(q, k, v, key_mask, causal, scale, block_q, bshd, block_k)
     return out, (q, k, v, key_mask, out, lse)
 
 
-def _flash_bwd(causal, scale, block_q, bshd, res, g):
-    return _bwd(causal, scale, block_q, bshd, res, g)
+def _flash_bwd(causal, scale, block_q, bshd, block_k, res, g):
+    return _bwd(causal, scale, block_q, bshd, block_k, res, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -497,6 +793,7 @@ def flash_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     block_q: int = 512,
+    block_k: int | None = None,
     layout: str = "bhsd",
 ) -> jax.Array:
     """Fused MHA. key_mask: (batch, seq) with 1 = attend.
@@ -507,9 +804,15 @@ def flash_attention(
     which removes the two (B,S,H,D)<->(B,H,S,D) HBM relayouts per attention
     call (for BERT-Large bs64 s128 that is ~9 GB/step of pure transpose
     traffic). Output matches the input layout.
+
+    ``block_k=None`` (default) streams the whole key range per program —
+    fastest at BERT lengths. Setting ``block_k`` switches to the online-
+    softmax K-blocked kernels whose VMEM footprint is independent of S;
+    required for long-context (multi-K-token) sequences.
     """
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(d)
     if layout not in ("bhsd", "bshd"):
         raise ValueError(f"unknown layout {layout!r}")
-    return _flash(q, k, v, key_mask, causal, scale, block_q, layout == "bshd")
+    return _flash(q, k, v, key_mask, causal, scale, block_q,
+                  layout == "bshd", block_k)

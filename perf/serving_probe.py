@@ -63,7 +63,8 @@ def bench_rn50_serving(variables, fwd):
     def model_fn(inputs):
         return {"logits": np.asarray(fwd(variables, jnp.asarray(inputs["image"])))}
 
-    batcher = ContinuousBatcher(model_fn, max_batch=32, max_delay_ms=2.0)
+    batcher = ContinuousBatcher(model_fn, batch_buckets=(1, 2, 4, 8, 16, 32),
+                                max_delay_s=0.002)
     batcher.warmup({"image": np.zeros((1, 224, 224, 3), np.float32)})
 
     def make_input():

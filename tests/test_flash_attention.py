@@ -125,3 +125,50 @@ def test_flash_bshd_layout_matches_reference():
         np.testing.assert_allclose(
             np.asarray(to_bhsd(a)), np.asarray(b_), atol=5e-4, rtol=5e-4
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_kblocked_matches_reference(causal):
+    """Online-softmax K-blocked kernels (block_k set) vs the jnp oracle,
+    forward and backward, with a ragged key mask."""
+    rng = np.random.default_rng(7)
+    b, h, s, d = 2, 2, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    mask = np.ones((b, s), np.int32)
+    mask[0, 48:] = 0
+    mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, key_mask=mask, causal=causal,
+                          block_q=16, block_k=16)
+    ref = mha_reference(q, k, v, key_mask=mask, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, key_mask=mask, causal=causal,
+                            block_q=16, block_k=16)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o = mha_reference(q, k, v, key_mask=mask, causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_kblocked_bshd_layout():
+    rng = np.random.default_rng(8)
+    b, s, h, d = 2, 64, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    out = flash_attention(q, k, v, block_q=16, block_k=32, layout="bshd")
+    ref = mha_reference(*(t.transpose(0, 2, 1, 3) for t in (q, k, v)))
+    np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
+                               np.asarray(ref), atol=2e-5, rtol=2e-5)
