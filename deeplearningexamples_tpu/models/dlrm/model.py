@@ -67,7 +67,11 @@ class DlrmConfig:
 
     @property
     def total_rows(self) -> int:
-        return int(sum(self.categorical_cardinalities))
+        # padded to a multiple of 8 so the joint table row-shards evenly
+        # over any power-of-2 model axis (pad rows are never indexed:
+        # offsets+cardinalities stay within the true range)
+        n = int(sum(self.categorical_cardinalities))
+        return -(-n // 8) * 8
 
 
 def _mlp(x, sizes: Sequence[int], dtype, name: str, final_relu: bool = True):
@@ -104,6 +108,9 @@ class Dlrm(nn.Module):
                     jax.random.uniform(sub, (c, cfg.embedding_dim), dtype,
                                        minval=-bound, maxval=bound)
                 )
+            pad = shape[0] - sum(cfg.categorical_cardinalities)
+            if pad:  # shard-alignment rows (never indexed)
+                parts.append(jnp.zeros((pad, cfg.embedding_dim), dtype))
             return jnp.concatenate(parts, axis=0)
 
         table = self.param(
