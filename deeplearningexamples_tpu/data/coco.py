@@ -179,3 +179,81 @@ class CocoSSDLoader:
             if not self.train:
                 batch["gt"] = gt_info  # host-side, for the mAP evaluator
             yield batch
+
+
+class CocoRawLoader:
+    """COCO loader emitting the raw-box detection contract (EfficientDet /
+    Mask R-CNN): ``image`` (B, S, S, 3), ``boxes`` (B, G, 4) xyxy pixels,
+    ``labels`` (B, G) 0-based category ids, ``valid`` (B, G).
+
+    Same native decode + SSD-style crop/flip augmentation as
+    :class:`CocoSSDLoader`, but targets stay as padded ground-truth boxes —
+    anchor matching happens on-device inside the detector's loss
+    (reference EfficientDet computes targets in the model too,
+    ``effdet/anchors.py AnchorLabeler``)."""
+
+    def __init__(self, dataset: CocoDetectionDataset, batch_size: int,
+                 image_size: int = 512, *, max_gt: int = 64,
+                 train: bool = True, seed: int = 0,
+                 shard: tuple[int, int] = (0, 1),
+                 n_threads: int | None = None):
+        from ..native import DataPlane
+
+        self.plane = DataPlane(n_threads)
+        self.samples = dataset.samples[shard[0]::shard[1]]
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.max_gt = max_gt
+        self.train = train
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.samples) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        order = (rng.permutation(len(self.samples)) if self.train
+                 else np.arange(len(self.samples)))
+        bs, s, g = self.batch_size, self.image_size, self.max_gt
+        for i in range(0, len(order) - bs + 1, bs):
+            jpegs, crops, flips = [], [], []
+            out_boxes = np.zeros((bs, g, 4), np.float32)
+            out_labels = np.zeros((bs, g), np.int32)
+            out_valid = np.zeros((bs, g), bool)
+            img_ids = []
+            for bi, j in enumerate(order[i:i + bs]):
+                path, boxes, labels, img_id = self.samples[j]
+                with open(path, "rb") as f:
+                    jpegs.append(f.read())
+                crop = None
+                if self.train:
+                    result = ssd_random_crop(boxes, labels, rng)
+                    if result is not None:
+                        crop, boxes, labels = result
+                crop = crop or (0.0, 0.0, 1.0, 1.0)
+                flip = bool(self.train and rng.random() < 0.5)
+                if flip and len(boxes):
+                    boxes = boxes.copy()
+                    boxes[:, [0, 2]] = 1.0 - boxes[:, [2, 0]]
+                crops.append(crop)
+                flips.append(int(flip))
+                n = min(len(boxes), g)
+                out_boxes[bi, :n] = boxes[:n] * s  # frac -> pixels
+                # cat_to_label is 1-based (0 = background); detection tasks
+                # here use 0-based category ids
+                out_labels[bi, :n] = labels[:n] - 1
+                out_valid[bi, :n] = True
+                img_ids.append(img_id)
+            images = self.plane.decode_batch(
+                jpegs, np.asarray(crops, np.float32),
+                np.asarray(flips, np.int32), s,
+            )
+            batch = {
+                "image": images, "boxes": out_boxes,
+                "labels": out_labels, "valid": out_valid,
+            }
+            if not self.train:
+                batch["image_ids"] = np.asarray(img_ids, np.int64)
+            yield batch

@@ -70,7 +70,8 @@ def _make_convnet_entry(arch):
 
 for _arch in ("resnet50", "resnext101-32x4d", "se-resnext101-32x4d",
               "efficientnet-b0", "efficientnet-b4",
-              "efficientnet-widese-b0", "efficientnet-widese-b4"):
+              "efficientnet-widese-b0", "efficientnet-widese-b4",
+              "gpunet-0", "gpunet-1", "gpunet-2"):
     _REGISTRY[_arch] = _make_convnet_entry(_arch)
 
 
@@ -117,10 +118,36 @@ def _ncf_entry(dtype=jnp.bfloat16):
     return NeuMF(NcfConfig(), dtype)
 
 
+def _efficientdet_entry(dtype=jnp.bfloat16):
+    from .models.efficientdet import EfficientDet, EfficientDetConfig
+
+    return EfficientDet(EfficientDetConfig(), dtype)
+
+
+def _maskrcnn_entry(dtype=jnp.bfloat16):
+    from .models.maskrcnn import MaskRCNN, MaskRCNNConfig
+
+    return MaskRCNN(MaskRCNNConfig(image_size=256), dtype)
+
+
+def _moflow_entry(dtype=jnp.float32):
+    from .models.moflow import MoFlow, ZINC250K_CONFIG
+
+    return MoFlow(ZINC250K_CONFIG)
+
+
+def _se3_entry(dtype=jnp.float32):
+    from .models.se3_transformer import SE3Config, SE3Transformer
+
+    return SE3Transformer(SE3Config())
+
+
 _REGISTRY.update(
     ssd300=_ssd_entry, bert=_bert_entry, tacotron2=_tacotron2_entry,
     waveglow=_waveglow_entry, dlrm=_dlrm_entry,
     transformer=_transformer_entry, ncf=_ncf_entry,
+    efficientdet=_efficientdet_entry, maskrcnn=_maskrcnn_entry,
+    moflow=_moflow_entry, se3_transformer=_se3_entry,
 )
 
 
@@ -176,11 +203,42 @@ def _dlrm_init(model, rng):
     )
 
 
+def _effdet_init(model, rng):
+    s = model.cfg.image_size
+    return model.init(
+        {"params": rng, "dropout": jax.random.key(1)},
+        jnp.zeros((1, s, s, 3)), train=False,
+    )
+
+
+def _maskrcnn_init(model, rng):
+    s = model.cfg.image_size
+    return model.init(rng, jnp.zeros((1, s, s, 3)), train=False)
+
+
+def _moflow_init(model, rng):
+    cfg = model.cfg
+    return model.init(
+        rng, jnp.zeros((1, cfg.n_bond_types, cfg.n_node, cfg.n_node)),
+        jnp.zeros((1, cfg.n_node, cfg.n_atom_types)), train=False,
+    )
+
+
+def _se3_init(model, rng):
+    cfg = model.cfg
+    return model.init(
+        rng, jnp.zeros((1, 8, 3)),
+        jnp.zeros((1, 8, cfg.node_feature_dim)), jnp.ones((1, 8)),
+    )
+
+
 _INIT: dict[str, Callable] = {
     **{a: _img_init(380 if "b4" in a else 224) for a in (
         "resnet50", "resnext101-32x4d", "se-resnext101-32x4d",
         "efficientnet-b0", "efficientnet-b4",
         "efficientnet-widese-b0", "efficientnet-widese-b4")},
+    "gpunet-0": _img_init(320), "gpunet-1": _img_init(288),
+    "gpunet-2": _img_init(384),
     "ssd300": _img_init(300),
     "bert": _bert_init,
     "tacotron2": _taco_init,
@@ -188,6 +246,10 @@ _INIT: dict[str, Callable] = {
     "dlrm": _dlrm_init,
     "transformer": _transformer_init,
     "ncf": _ncf_init,
+    "efficientdet": _effdet_init,
+    "maskrcnn": _maskrcnn_init,
+    "moflow": _moflow_init,
+    "se3_transformer": _se3_init,
 }
 
 

@@ -333,3 +333,44 @@ def test_criteo_frequency_threshold_preproc(tmp_path):
     tb = next(iter(test))
     assert tb["categorical"].tolist() == [[1, 2]]
     assert tb["label"].tolist() == [0.0]
+
+
+def test_coco_raw_loader_for_detectors(tmp_path):
+    from PIL import Image
+
+    from deeplearningexamples_tpu.data.coco import CocoDetectionDataset, CocoRawLoader
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    images, annotations = [], []
+    for i in range(4):
+        name = f"img{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+        ).save(img_dir / name, "JPEG")
+        images.append({"id": i, "file_name": name, "width": 160, "height": 120})
+        annotations.append({
+            "id": i * 10, "image_id": i, "category_id": 44,
+            "bbox": [30, 25, 70, 60], "iscrowd": 0, "area": 4200,
+        })
+    ann = {"images": images, "annotations": annotations,
+           "categories": [{"id": 18, "name": "dog"},
+                          {"id": 44, "name": "bottle"}]}
+    ann_path = tmp_path / "instances.json"
+    ann_path.write_text(json.dumps(ann))
+
+    ds = CocoDetectionDataset(str(img_dir), str(ann_path))
+    loader = CocoRawLoader(ds, batch_size=2, image_size=128, max_gt=8,
+                           train=False, n_threads=2)
+    b = next(iter(loader))
+    assert b["image"].shape == (2, 128, 128, 3)
+    assert b["boxes"].shape == (2, 8, 4)
+    assert b["labels"].shape == (2, 8)
+    # category 44 -> 1-based label 2 -> 0-based id 1
+    assert b["labels"][b["valid"]].tolist() == [1, 1]
+    # boxes are pixel xyxy inside the canvas
+    valid_boxes = b["boxes"][b["valid"]]
+    assert (valid_boxes[:, 2] > valid_boxes[:, 0]).all()
+    assert (valid_boxes <= 128).all() and (valid_boxes >= 0).all()
+    assert "image_ids" in b
