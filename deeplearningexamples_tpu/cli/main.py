@@ -275,6 +275,7 @@ class BertCliConfig(CommonConfig):
     # than the XLA tree update on v5e (346 vs 396 seq/s) — kept selectable
     # for A/B and for larger-model regimes where optimizer traffic dominates
     flat_lamb: bool = False
+    binned: bool = False  # LDDL-style sequence-length binning (wiki backend)
 
 
 def run_bert_pretrain(cfg: BertCliConfig) -> None:
@@ -294,7 +295,9 @@ def run_bert_pretrain(cfg: BertCliConfig) -> None:
         # tokenized shards from data.bert_prep.prepare_corpus — the real-data
         # path (reference run_pretraining.py:557-570's loader role); the last
         # documents are held out for MLM/NSP-accuracy validation
-        from ..data.bert_pretrain import BertPretrainLoader, MaskingConfig
+        from ..data.bert_pretrain import (
+            BertPretrainLoader, BinnedBertPretrainLoader, MaskingConfig,
+        )
         from ..data.bert_prep import load_corpus_shards
 
         docs = load_corpus_shards(
@@ -305,7 +308,11 @@ def run_bert_pretrain(cfg: BertCliConfig) -> None:
             vocab_size=bcfg.vocab_size,
             max_predictions_per_seq=cfg.max_predictions,
         )
-        loader = BertPretrainLoader(
+        # --binned: LDDL-style length-bucketed batches (fewer pad FLOPs,
+        # one compile per bucket length)
+        loader_cls = BinnedBertPretrainLoader if cfg.binned \
+            else BertPretrainLoader
+        loader = loader_cls(
             docs[:-n_eval], cfg.batch_size, cfg.seq_len, mcfg, seed=cfg.seed,
             steps_per_epoch=cfg.steps_per_epoch if cfg.mode != "train" else None,
         )

@@ -149,3 +149,45 @@ class BertPretrainLoader:
             }
             batch["nsp_label"] = np.asarray(nsp, np.int32)
             yield batch
+
+
+class BinnedBertPretrainLoader(BertPretrainLoader):
+    """Sequence-length binning (the reference's LDDL binned data loader
+    role, ``LanguageModeling/BERT/run.sub`` ``--num-buckets``): sampled
+    pairs accumulate in per-length buckets (rounded up to a multiple of
+    ``bin_multiple``) and a batch is emitted when its bucket fills, padded
+    only to the bucket length instead of ``seq_len``.
+
+    On TPU each distinct bucket length compiles one program variant
+    (seq_len / bin_multiple shapes at most — the LDDL paper's trade:
+    a handful of compiles for up to ~2x less pad FLOPs on wiki-style
+    length distributions)."""
+
+    def __init__(self, *args, bin_multiple: int = 64, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.bin_multiple = bin_multiple
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        m = self.bin_multiple
+        buckets: dict[int, list] = {}
+        emitted = 0
+        while emitted < self._steps:
+            a, b, label = self._sample_pair(rng)
+            need = len(a) + len(b) + 3
+            bucket = min(-(-need // m) * m, self.seq_len)
+            pending = buckets.setdefault(bucket, [])
+            pending.append((a, b, label))
+            if len(pending) == self.batch_size:
+                rows = [
+                    create_masked_instance(pa, pb, bucket, self.cfg, rng)
+                    for pa, pb, _ in pending
+                ]
+                batch = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+                batch["nsp_label"] = np.asarray(
+                    [l for _, _, l in pending], np.int32
+                )
+                buckets[bucket] = []
+                emitted += 1
+                yield batch

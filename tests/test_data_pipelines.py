@@ -374,3 +374,33 @@ def test_coco_raw_loader_for_detectors(tmp_path):
     assert (valid_boxes[:, 2] > valid_boxes[:, 0]).all()
     assert (valid_boxes <= 128).all() and (valid_boxes >= 0).all()
     assert "image_ids" in b
+
+
+def test_binned_pretrain_loader_cuts_padding():
+    from deeplearningexamples_tpu.data.bert_pretrain import (
+        BertPretrainLoader, BinnedBertPretrainLoader,
+    )
+
+    rng = np.random.default_rng(0)
+    # documents with mostly-short sentences -> binning should pay off
+    docs = [
+        [rng.integers(5, 1000, rng.integers(4, 30)).astype(np.int32)
+         for _ in range(6)]
+        for _ in range(8)
+    ]
+    flat = BertPretrainLoader(docs, batch_size=4, seq_len=256,
+                              steps_per_epoch=12)
+    binned = BinnedBertPretrainLoader(docs, batch_size=4, seq_len=256,
+                                      steps_per_epoch=12, bin_multiple=64)
+    flat_tokens = sum(b["input_ids"].size for b in flat)
+    seqs = set()
+    binned_tokens = 0
+    for b in binned:
+        assert b["input_ids"].shape[0] == 4
+        assert b["input_ids"].shape[1] % 64 == 0
+        assert b["input_ids"].shape == b["mlm_labels"].shape
+        seqs.add(b["input_ids"].shape[1])
+        binned_tokens += b["input_ids"].size
+    # shorter-than-max buckets actually occur, and total padded tokens drop
+    assert min(seqs) < 256
+    assert binned_tokens < flat_tokens * 0.75

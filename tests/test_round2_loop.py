@@ -431,3 +431,30 @@ def test_rng_impl_rbg_key_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         jax.random.key_data(restored.rng), jax.random.key_data(state.rng)
     )
+
+
+def test_cli_bert_pretrain_binned(tmp_path):
+    """--binned routes through the LDDL-style length-bucketed loader."""
+    from deeplearningexamples_tpu.cli.main import cli
+    from deeplearningexamples_tpu.data.bert_prep import prepare_corpus
+
+    sents = {
+        0: "The cat sat on the mat. A dog ran fast. The dog sat.",
+        1: "Birds fly south in winter. The cat ran fast. A dog sat.",
+        2: "A dog sat on a mat. Birds fly fast. The mat sat on the cat.",
+        3: "The mat ran. A cat sat on a dog. Birds fly south fast.",
+    }
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n\n".join(sents.values()) + "\n")
+    shards = tmp_path / "shards"
+    prepare_corpus(str(corpus), VOCAB_D, str(shards), n_shards=1)
+    ws = tmp_path / "ws"
+    cli([
+        "bert-pretrain", "--bert-model", "tiny", "--data-backend", "corpus",
+        "--data-dir", str(shards), "--batch-size", "8", "--seq-len", "64",
+        "--max-predictions", "5", "--epochs", "1", "--steps-per-epoch", "3",
+        "--lr", "1e-3", "--workspace", str(ws), "--amp", "false",
+        "--binned", "true", "--mode", "benchmark-training", "--prof", "3",
+        "--rng-impl", "threefry",
+    ])
+    assert "train.loss" in open(ws / "bert_pretrain_raport.json").read()
