@@ -696,10 +696,21 @@ def run_maskrcnn(cfg: CommonConfig) -> None:
     mesh, logger = _common_setup(cfg, "maskrcnn")
     task = MaskRCNNTask(MaskRCNNConfig(), dtype=_dtype(cfg))
     params, mstate = task.init(jax.random.key(cfg.seed))
-    loader = SyntheticDetectionLoader(
-        cfg.batch_size, task.cfg.image_size, task.cfg.num_classes - 1,
-        max_gt=16, steps=cfg.steps_per_epoch, with_masks=True, seed=cfg.seed,
-    )
+    if cfg.data_backend == "coco":
+        from ..data.coco import CocoDetectionDataset, CocoRawLoader
+
+        ds = CocoDetectionDataset(
+            f"{cfg.data_dir}/train2017",
+            f"{cfg.data_dir}/annotations/instances_train2017.json",
+        )
+        loader = CocoRawLoader(ds, cfg.batch_size, task.cfg.image_size,
+                               max_gt=16, with_masks=True, seed=cfg.seed)
+    else:
+        loader = SyntheticDetectionLoader(
+            cfg.batch_size, task.cfg.image_size, task.cfg.num_classes - 1,
+            max_gt=16, steps=cfg.steps_per_epoch, with_masks=True,
+            seed=cfg.seed,
+        )
     sched = _make_schedule(cfg, len(loader))
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.sgd(sched, momentum=cfg.momentum))

@@ -404,3 +404,53 @@ def test_binned_pretrain_loader_cuts_padding():
     # shorter-than-max buckets actually occur, and total padded tokens drop
     assert min(seqs) < 256
     assert binned_tokens < flat_tokens * 0.75
+
+
+def test_polygon_rasterization_and_mask_loader(tmp_path):
+    from PIL import Image
+
+    from deeplearningexamples_tpu.data.coco import (
+        CocoDetectionDataset, CocoRawLoader, rasterize_polygons,
+    )
+
+    # unit-square triangle occupying the lower-left half
+    tri = [0.0, 0.0, 1.0, 1.0, 0.0, 1.0]
+    m = rasterize_polygons([tri], 32)
+    assert 0.35 < m.mean() < 0.65  # ~half the grid
+    assert m[30, 1] == 1.0 and m[1, 30] == 0.0  # below vs above diagonal
+    # flip mirrors horizontally
+    mf = rasterize_polygons([tri], 32, flip=True)
+    np.testing.assert_array_equal(mf, m[:, ::-1])
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(2)
+    Image.fromarray(rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+                    ).save(img_dir / "a.jpg", "JPEG")
+    Image.fromarray(rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+                    ).save(img_dir / "b.jpg", "JPEG")
+    ann = {
+        "images": [{"id": 0, "file_name": "a.jpg", "width": 100, "height": 100},
+                   {"id": 1, "file_name": "b.jpg", "width": 100, "height": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 0, "category_id": 18,
+             "bbox": [10, 10, 50, 50], "iscrowd": 0, "area": 2500,
+             "segmentation": [[10, 10, 60, 10, 60, 60, 10, 60]]},
+            {"id": 2, "image_id": 1, "category_id": 18,
+             "bbox": [20, 20, 40, 40], "iscrowd": 0, "area": 1600,
+             "segmentation": [[20, 20, 60, 20, 60, 60, 20, 60]]},
+        ],
+        "categories": [{"id": 18, "name": "dog"}],
+    }
+    p = tmp_path / "inst.json"
+    p.write_text(json.dumps(ann))
+    ds = CocoDetectionDataset(str(img_dir), str(p))
+    loader = CocoRawLoader(ds, batch_size=2, image_size=128, max_gt=4,
+                           train=False, with_masks=True, mask_grid=32,
+                           n_threads=2)
+    b = next(iter(loader))
+    assert b["masks"].shape == (2, 4, 32, 32)
+    m0 = b["masks"][0, 0]
+    # instance 0 is a square covering fractions [0.1, 0.6]^2 -> ~25% fill
+    assert 0.15 < m0.mean() < 0.35
+    assert m0[11, 11] == 1.0 and m0[30, 30] == 0.0
