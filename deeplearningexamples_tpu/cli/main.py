@@ -902,6 +902,197 @@ def run_bart(cfg: BartCliConfig) -> None:
             logger.log((), {f"val.{k}": v for k, v in scores.items()})
 
 
+def _breadth_spec(name: str, cfg: CommonConfig):
+    """(task, batch_factory, tx) for the remaining breadth families —
+    enough to train each one from the CLI on synthetic data (benchmark
+    mode; real pipelines are per-family work)."""
+    import optax
+
+    rng = np.random.default_rng(cfg.seed)
+    bs = cfg.batch_size
+    if name == "jasper":
+        from ..models.asr import JasperTask
+
+        task = JasperTask(dtype=_dtype(cfg))
+        init = lambda: task.init(jax.random.key(cfg.seed), t=256, batch=2)
+
+        def batch():
+            return {
+                "feats": rng.normal(size=(bs, 256, task.cfg.n_mels)
+                                    ).astype(np.float32),
+                "feat_paddings": np.zeros((bs, 256), np.float32),
+                "labels": rng.integers(
+                    1, task.cfg.vocab_size, (bs, 32)).astype(np.int32),
+                "label_paddings": np.zeros((bs, 32), np.float32),
+            }
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adam(cfg.lr or 1e-3))
+    elif name == "wav2vec2":
+        from ..models.wav2vec2 import Wav2Vec2Task, sample_spans_mask
+
+        task = Wav2Vec2Task(dtype=_dtype(cfg))
+        audio_len = 16000
+        init = lambda: task.init(jax.random.key(cfg.seed),
+                                 audio_len=audio_len, batch=2)
+        frames = task._n_frames(audio_len)
+
+        def batch():
+            return {
+                "audio": rng.normal(size=(bs, audio_len)
+                                    ).astype(np.float32) * 0.1,
+                "mask": sample_spans_mask(rng, bs, frames, 0.5,
+                                          task.cfg.mask_span),
+            }
+        tx = optax.adamw(cfg.lr or 5e-4, weight_decay=0.01)
+    elif name == "nnunet":
+        from ..models.unet import UNetConfig, UNetTask
+
+        task = UNetTask(UNetConfig(spatial_rank=2), dtype=_dtype(cfg))
+        init = lambda: task.init(jax.random.key(cfg.seed), patch=128)
+
+        def batch():
+            return {
+                "image": rng.normal(size=(bs, 128, 128, 1)
+                                    ).astype(np.float32),
+                "label": rng.integers(0, task.cfg.n_classes,
+                                      (bs, 128, 128)).astype(np.int32),
+            }
+        tx = optax.adam(cfg.lr or 1e-3)
+    elif name == "transformer-xl":
+        from ..models.transformer_xl import TransformerXLTask
+
+        task = TransformerXLTask(dtype=_dtype(cfg))
+        init = lambda: task.init(jax.random.key(cfg.seed), batch=bs)
+        seg = task.cfg.seg_len
+
+        def batch():
+            toks = rng.integers(0, task.cfg.vocab_size, (bs, seg + 1))
+            return {"tokens": toks[:, :-1].astype(np.int32),
+                    "targets": toks[:, 1:].astype(np.int32)}
+        tx = optax.adam(cfg.lr or 2.5e-4)
+    elif name == "gnmt":
+        from ..models.translation.gnmt import GnmtTask
+
+        task = GnmtTask(dtype=_dtype(cfg))
+        init = lambda: task.init(jax.random.key(cfg.seed))
+
+        def batch():
+            src = rng.integers(3, task.cfg.vocab_size, (bs, 48))
+            tgt = np.concatenate(
+                [np.full((bs, 1), task.cfg.bos_id), src[:, :46],
+                 np.full((bs, 1), task.cfg.eos_id)], axis=1)
+            return {"src": src.astype(np.int32), "tgt": tgt.astype(np.int32)}
+        tx = optax.adam(cfg.lr or 1e-3)
+    elif name == "fastpitch":
+        from ..models.tts import FastPitchTask
+
+        task = FastPitchTask(dtype=_dtype(cfg))
+        init = lambda: task.init(jax.random.key(cfg.seed))
+        tl = 32
+
+        def batch():
+            dur = rng.integers(1, 6, (bs, tl)).astype(np.int32)
+            mel_len = task.cfg.max_mel_len
+            return {
+                "text": rng.integers(1, task.cfg.n_symbols,
+                                     (bs, tl)).astype(np.int32),
+                "durations": dur,
+                "pitch": rng.normal(size=(bs, tl)).astype(np.float32),
+                "mel": rng.normal(size=(bs, mel_len, task.cfg.n_mels)
+                                  ).astype(np.float32),
+            }
+        tx = optax.adam(cfg.lr or 1e-3)
+    elif name == "moflow":
+        from ..models.moflow import MoFlowConfig, MoFlowTask
+
+        task = MoFlowTask(MoFlowConfig())
+        init = lambda: task.init(jax.random.key(cfg.seed))
+        c = task.cfg
+
+        def batch():
+            atoms = np.eye(c.n_atom_types, dtype=np.float32)[
+                rng.integers(0, c.n_atom_types, (bs, c.n_node))]
+            bonds = rng.integers(0, c.n_bond_types, (bs, c.n_node, c.n_node))
+            bonds = np.triu(bonds, 1)
+            bonds = bonds + bonds.transpose(0, 2, 1)
+            adj = np.eye(c.n_bond_types, dtype=np.float32)[bonds]
+            return {"atoms": atoms, "adj": adj.transpose(0, 3, 1, 2)}
+        tx = optax.adam(cfg.lr or 1e-3)
+    elif name == "se3-transformer":
+        from ..models.se3_transformer import SE3Config, SE3RegressionTask
+
+        task = SE3RegressionTask(
+            SE3Config(num_layers=4, num_degrees=3, num_channels=16))
+        n = 12
+        init = lambda: task.init(jax.random.key(cfg.seed), n_atoms=n)
+
+        def batch():
+            pos = rng.normal(size=(bs, n, 3)).astype(np.float32) * 2
+            species = np.eye(task.cfg.node_feature_dim, dtype=np.float32)[
+                rng.integers(0, task.cfg.node_feature_dim, (bs, n))]
+            mask = np.ones((bs, n), np.float32)
+            d = np.linalg.norm(pos[:, :, None] - pos[:, None, :], axis=-1)
+            d = d + np.eye(n) * 1e9
+            target = (1.0 / np.maximum(d, 0.5)).sum(axis=(1, 2)) * 0.05
+            return {"positions": pos, "species": species, "mask": mask,
+                    "target": target.astype(np.float32)}
+        tx = optax.adam(cfg.lr or 3e-3)
+    else:
+        raise KeyError(name)
+    return task, init, batch, tx
+
+
+def run_breadth(name: str, cfg: CommonConfig) -> None:
+    mesh, logger = _common_setup(cfg, name.replace("-", "_"))
+    task, init, batch_fn, tx = _breadth_spec(name, cfg)
+    params, mstate = init()
+    loader = [batch_fn() for _ in range(min(cfg.steps_per_epoch, 16))]
+    loader = (loader * (-(-cfg.steps_per_epoch // len(loader))))[
+        :cfg.steps_per_epoch]
+    state = create_train_state(params, tx, _train_key(cfg), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/{name.replace('-', '_')}_ckpt")
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    train_loop(
+        state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size, start_epoch=start_epoch,
+    )
+
+
+def run_hifigan(cfg: CommonConfig) -> None:
+    """HiFiGAN GAN training (reference ``HiFiGAN/train.py``): alternating
+    discriminator/generator steps — its dual-optimizer loop doesn't fit
+    the single-step harness, so the runner drives it directly."""
+    import optax
+
+    from ..models.tts import HiFiGanConfig, HiFiGanTask
+
+    mesh, logger = _common_setup(cfg, "hifigan")
+    task = HiFiGanTask(dtype=_dtype(cfg))
+    g_params, d_params = task.init(jax.random.key(cfg.seed))
+    g_tx = optax.adam(cfg.lr or 2e-4, b1=0.8, b2=0.99)
+    d_tx = optax.adam(cfg.lr or 2e-4, b1=0.8, b2=0.99)
+    g_opt, d_opt = g_tx.init(g_params), d_tx.init(d_params)
+    g_step, d_step = task.make_steps(g_tx, d_tx)
+    rng = np.random.default_rng(cfg.seed)
+    hcfg = task.cfg
+    t_mel = hcfg.segment_length // hcfg.hop_length
+    batch = {
+        "mel": jnp.asarray(rng.normal(size=(cfg.batch_size, t_mel,
+                                            hcfg.n_mels)), jnp.float32),
+        "audio": jnp.asarray(rng.normal(
+            size=(cfg.batch_size, hcfg.segment_length)) * 0.3, jnp.float32),
+    }
+    for epoch in range(cfg.epochs):
+        for it in range(cfg.steps_per_epoch):
+            d_params, d_opt, dl = d_step(d_params, d_opt, g_params, batch)
+            g_params, g_opt, gl, aux = g_step(g_params, g_opt, d_params, batch)
+        logger.log((epoch,), {"train.d_loss": float(dl),
+                              "train.g_loss": float(gl),
+                              "train.mel_l1": float(aux["mel_l1"])})
+
+
 MODELS = {
     "resnet50": lambda cfg: run_convnet("resnet50", cfg),
     "resnext101-32x4d": lambda cfg: run_convnet("resnext101-32x4d", cfg),
@@ -921,6 +1112,15 @@ MODELS = {
     "ncf": run_ncf,
     "tft": run_tft,
     "bart": run_bart,
+    "jasper": lambda cfg: run_breadth("jasper", cfg),
+    "wav2vec2": lambda cfg: run_breadth("wav2vec2", cfg),
+    "nnunet": lambda cfg: run_breadth("nnunet", cfg),
+    "transformer-xl": lambda cfg: run_breadth("transformer-xl", cfg),
+    "gnmt": lambda cfg: run_breadth("gnmt", cfg),
+    "fastpitch": lambda cfg: run_breadth("fastpitch", cfg),
+    "moflow": lambda cfg: run_breadth("moflow", cfg),
+    "se3-transformer": lambda cfg: run_breadth("se3-transformer", cfg),
+    "hifigan": run_hifigan,
     "tacotron2": lambda cfg: run_tts("tacotron2", cfg),
     "waveglow": lambda cfg: run_tts("waveglow", cfg),
 }

@@ -65,10 +65,10 @@ def bench_rn50_serving(variables, fwd):
 
     batcher = ContinuousBatcher(model_fn, batch_buckets=(1, 2, 4, 8, 16, 32),
                                 max_delay_s=0.002)
-    batcher.warmup({"image": np.zeros((1, 224, 224, 3), np.float32)})
+    batcher.warmup({"image": np.zeros((224, 224, 3), np.float32)})
 
     def make_input():
-        return {"image": rng.normal(size=(1, 224, 224, 3)).astype(np.float32)}
+        return {"image": rng.normal(size=(224, 224, 3)).astype(np.float32)}
 
     res = online_performance_test(batcher.infer, make_input, concurrency=8,
                                   requests_per_client=24)

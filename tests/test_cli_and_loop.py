@@ -170,3 +170,23 @@ def test_sigterm_checkpoints_and_resumes_bitwise(tmp_path):
         restored, _ = step(restored, b)
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.asarray(s_ref.params["w"]))
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", [
+    "jasper", "nnunet", "transformer-xl", "gnmt", "moflow",
+])
+def test_cli_breadth_runners_train(name, tmp_path):
+    """Every breadth family is reachable and trains from the CLI."""
+    from deeplearningexamples_tpu.cli.main import cli
+
+    ws = tmp_path / "ws"
+    cli([
+        name, "--batch-size", "2", "--epochs", "1", "--steps-per-epoch", "2",
+        "--workspace", str(ws), "--amp", "false", "--rng-impl", "threefry",
+        "--mode", "benchmark-training", "--prof", "2",
+    ])
+    report = (ws / f"{name.replace('-', '_')}_raport.json").read_text()
+    assert "train.loss" in report
