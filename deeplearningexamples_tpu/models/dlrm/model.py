@@ -49,6 +49,10 @@ class DlrmConfig:
     # gather is latency-bound anyway) | "sorted" (argsort + sorted
     # segment-sum, ops/embedding.py — wins when scatter dominates)
     embedding_grad: str = "scatter"
+    # table storage dtype: the reference's AMP mode stores fp16 embeddings
+    # (no master copy, SGD tolerates it on Criteo); bf16 halves the bytes
+    # behind every random-row gather/scatter
+    table_dtype: str = "fp32"  # fp32 | bf16
 
     def __post_init__(self):
         assert self.bottom_mlp[-1] == self.embedding_dim, (
@@ -115,7 +119,7 @@ class Dlrm(nn.Module):
 
         table = self.param(
             "embedding_table", init_table, (cfg.total_rows, cfg.embedding_dim),
-            jnp.float32,
+            jnp.bfloat16 if cfg.table_dtype == "bf16" else jnp.float32,
         )
 
         if cfg.hash_indices:
