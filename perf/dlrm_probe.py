@@ -56,15 +56,18 @@ def main():
 
     nbytes = BS * N_TABLES * D * 4
 
-    gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+    # every timed fn reduces to a SCALAR on-device: pulling the raw result
+    # through the tunnel would time the network, not the chip (the scalar
+    # reduction adds one streaming HBM pass, ~1 ms at these sizes)
+    gather = jax.jit(lambda t, i: jnp.take(t, i, axis=0).sum())
     timeit("gather random", gather, table, flat, bytes_moved=nbytes)
     timeit("gather sorted", gather, table, flat_sorted, bytes_moved=nbytes)
 
-    srt = jax.jit(lambda i: jnp.argsort(i))
+    srt = jax.jit(lambda i: jnp.argsort(i).sum())
     timeit("argsort 1.7M int32", srt, flat)
 
     scat = jax.jit(
-        lambda g, i: jnp.zeros((V, D), jnp.float32).at[i].add(g)
+        lambda g, i: jnp.zeros((V, D), jnp.float32).at[i].add(g).sum()
     )
     timeit("bwd scatter-add (random)", scat, g, flat, bytes_moved=nbytes)
     timeit("bwd scatter-add (sorted)", scat, g, flat_sorted, bytes_moved=nbytes)
@@ -73,14 +76,14 @@ def main():
         order = jnp.argsort(i)
         return jax.ops.segment_sum(
             g[order], i[order], num_segments=V, indices_are_sorted=True
-        )
+        ).sum()
 
     timeit("bwd argsort+segsum", jax.jit(sorted_seg), g, flat, bytes_moved=nbytes)
 
     def seg_presorted(g, i):
         return jax.ops.segment_sum(
             g, i, num_segments=V, indices_are_sorted=True
-        )
+        ).sum()
 
     timeit("bwd segsum (presorted)", jax.jit(seg_presorted), g, flat_sorted,
            bytes_moved=nbytes)
