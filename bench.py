@@ -8,7 +8,7 @@ RN50 mixed-precision on 1xA100 80GB = 2,470 img/s, resnet50v1.5/README.md:598);
 
 Each workload runs its production single-chip configuration:
 - RN50 bs256 bf16 (SGD)
-- SSD300 bs64 bf16
+- SSD300 bs128 bf16 (bs sweep: 128 > 32 > 64 on v5e)
 - BERT-Large pretrain s128 bs64 bf16 + rbg dropout + bf16 LAMB moments
 - DLRM bs65536, 26x100k synthetic tables (round-1-comparable config)
 - Tacotron2 bs128 / WaveGlow bs10 bf16 (reference perf-table batch sizes)
@@ -77,7 +77,9 @@ def bench_ssd300():
     from deeplearningexamples_tpu.data.ssd_synthetic import SyntheticSSDLoader
     from deeplearningexamples_tpu.models.ssd import SSDTask
 
-    bs = 64
+    # bs128: measured sweep 64/32/128 -> 585/614/655 img/s; the v5e wants
+    # the bigger batch (reference A100 runs bs64)
+    bs = 128
     task = SSDTask(dtype=jnp.bfloat16)
     params, mstate = task.init(jax.random.key(0))
     tx = optax.sgd(2.6e-3, momentum=0.9)
