@@ -70,6 +70,7 @@ class CommonConfig:
     # "" (fp) or "qat": int8 fake-quant convs during training (reference
     # ConvNets quantization.py; fine-tune from an fp32 --resume checkpoint)
     quant_policy: str = ""
+    image_size: int = 0  # 0 = per-model default (detectors: pow-2 >= 128)
 
 
 def _make_schedule(cfg: CommonConfig, steps_per_epoch: int):
@@ -694,8 +695,10 @@ def run_maskrcnn(cfg: CommonConfig) -> None:
     from ..models.maskrcnn import MaskRCNNConfig, MaskRCNNTask
 
     mesh, logger = _common_setup(cfg, "maskrcnn")
-    task = MaskRCNNTask(MaskRCNNConfig(), dtype=_dtype(cfg))
+    mcfg = MaskRCNNConfig(image_size=cfg.image_size or 800)
+    task = MaskRCNNTask(mcfg, dtype=_dtype(cfg))
     params, mstate = task.init(jax.random.key(cfg.seed))
+    ds_val = None
     if cfg.data_backend == "coco":
         from ..data.coco import CocoDetectionDataset, CocoRawLoader
 
@@ -705,6 +708,11 @@ def run_maskrcnn(cfg: CommonConfig) -> None:
         )
         loader = CocoRawLoader(ds, cfg.batch_size, task.cfg.image_size,
                                max_gt=16, with_masks=True, seed=cfg.seed)
+        val_ann = f"{cfg.data_dir}/annotations/instances_val2017.json"
+        import os as _os
+
+        if _os.path.exists(val_ann):
+            ds_val = CocoDetectionDataset(f"{cfg.data_dir}/val2017", val_ann)
     else:
         loader = SyntheticDetectionLoader(
             cfg.batch_size, task.cfg.image_size, task.cfg.num_classes - 1,
@@ -718,11 +726,43 @@ def run_maskrcnn(cfg: CommonConfig) -> None:
     ckpt = CheckpointManager(f"{cfg.workspace}/maskrcnn_ckpt")
     state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
     train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
-    train_loop(
+    state, _ = train_loop(
         state, train_step, lambda: prefetch_to_device(loader, mesh),
         cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
         batch_size=cfg.batch_size, start_epoch=start_epoch,
     )
+    if ds_val is not None:
+        # COCO box + mask AP on the val split (reference tools/test_net.py
+        # runs COCOeval bbox + segm after training)
+        from ..data.coco import CocoRawLoader
+        from ..models.ssd.coco_eval import CocoMAP, MaskMAP
+
+        val = CocoRawLoader(ds_val, cfg.batch_size, task.cfg.image_size,
+                            max_gt=16, with_masks=True, train=False)
+        predict = jax.jit(lambda p, m, im: task.predict(
+            p, m, im, max_out=50, score_threshold=0.05))
+        box_ev = CocoMAP()
+        mask_ev = MaskMAP(image_size=float(task.cfg.image_size))
+        for batch in val:
+            boxes, scores, labels, valid, masks = predict(
+                state.params, state.model_state, jnp.asarray(batch["image"]))
+            for i in range(batch["image"].shape[0]):
+                keep = np.asarray(valid[i])
+                db = np.asarray(boxes[i])[keep]
+                dl = np.asarray(labels[i])[keep]
+                dsc = np.asarray(scores[i])[keep]
+                dm = np.asarray(masks[i])[keep]
+                gv = batch["valid"][i]
+                box_ev.add_image(db, dl, dsc, batch["boxes"][i][gv],
+                                 batch["labels"][i][gv])
+                mask_ev.add_image_masks(db, dm, dl, dsc,
+                                        batch["masks"][i][gv],
+                                        batch["labels"][i][gv])
+        box_m, mask_m = box_ev.compute(), mask_ev.compute()
+        logger.log((), {"val.bbox_mAP": box_m["mAP"],
+                        "val.bbox_mAP50": box_m["mAP50"],
+                        "val.segm_mAP": mask_m["mAP"],
+                        "val.segm_mAP50": mask_m["mAP50"]})
 
 
 def run_tft(cfg: CommonConfig) -> None:

@@ -75,3 +75,41 @@ def test_coco_map_perfect_and_miss():
     ev3.add_image(det, np.asarray([1]), np.asarray([0.95]),
                   np.zeros((0, 4), np.float32), np.zeros((0,), np.int64))
     assert ev3.compute()["mAP"] < 1.0
+
+
+def test_mask_map_perfect_and_degraded():
+    from deeplearningexamples_tpu.models.ssd.coco_eval import MaskMAP, paste_mask
+
+    grid, s = 64, 128.0
+    rng = np.random.default_rng(0)
+    ev_perfect = MaskMAP(image_size=s)
+    ev_shifted = MaskMAP(image_size=s)
+    for _ in range(4):
+        # one square instance per image
+        x1, y1 = rng.uniform(10, 50, 2)
+        w, h = rng.uniform(30, 60, 2)
+        box = np.asarray([x1, y1, x1 + w, y1 + h], np.float32)
+        gt = paste_mask(box, np.ones((28, 28), np.float32), grid, s)[None]
+        labels = np.asarray([1])
+        scores = np.asarray([0.9])
+        full = np.ones((1, 28, 28), np.float32)
+        ev_perfect.add_image_masks(box[None], full, labels, scores, gt, labels)
+        shifted = box + np.asarray([18, 18, 18, 18], np.float32)
+        ev_shifted.add_image_masks(shifted[None], full, labels, scores, gt,
+                                   labels)
+    perfect = ev_perfect.compute()
+    shifted = ev_shifted.compute()
+    assert perfect["mAP"] > 0.99
+    assert shifted["mAP"] < perfect["mAP"] * 0.6
+
+
+def test_paste_mask_geometry():
+    from deeplearningexamples_tpu.models.ssd.coco_eval import paste_mask
+
+    # half-left mask pasted into the right half of the canvas
+    m28 = np.zeros((28, 28), np.float32)
+    m28[:, :14] = 1.0
+    box = np.asarray([32.0, 0.0, 64.0, 64.0])
+    out = paste_mask(box, m28, 64, 64.0)
+    assert out[:, :32].sum() == 0  # nothing left of the box
+    assert out[10, 34] and not out[10, 60]  # left half of the box only
