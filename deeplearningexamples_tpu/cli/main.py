@@ -656,8 +656,10 @@ def run_efficientdet(cfg: CommonConfig) -> None:
     from ..models.efficientdet import EfficientDetConfig, EfficientDetTask
 
     mesh, logger = _common_setup(cfg, "efficientdet")
-    task = EfficientDetTask(EfficientDetConfig(), dtype=_dtype(cfg))
+    ecfg = EfficientDetConfig(image_size=cfg.image_size or 512)
+    task = EfficientDetTask(ecfg, dtype=_dtype(cfg))
     params, mstate = task.init(jax.random.key(cfg.seed))
+    ds_val = None
     if cfg.data_backend == "coco":
         from ..data.coco import CocoDetectionDataset, CocoRawLoader
 
@@ -667,6 +669,11 @@ def run_efficientdet(cfg: CommonConfig) -> None:
         )
         loader = CocoRawLoader(ds, cfg.batch_size, task.cfg.image_size,
                                max_gt=task.max_gt, seed=cfg.seed)
+        import os as _os
+
+        val_ann = f"{cfg.data_dir}/annotations/instances_val2017.json"
+        if _os.path.exists(val_ann):
+            ds_val = CocoDetectionDataset(f"{cfg.data_dir}/val2017", val_ann)
     else:
         loader = SyntheticDetectionLoader(
             cfg.batch_size, task.cfg.image_size, task.cfg.num_classes,
@@ -679,11 +686,34 @@ def run_efficientdet(cfg: CommonConfig) -> None:
     ckpt = CheckpointManager(f"{cfg.workspace}/efficientdet_ckpt")
     state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
     train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
-    train_loop(
+    state, _ = train_loop(
         state, train_step, lambda: prefetch_to_device(loader, mesh),
         cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
         batch_size=cfg.batch_size, start_epoch=start_epoch,
     )
+    if ds_val is not None:
+        # COCO box AP on the val split (reference validate.py / COCOeval)
+        from ..data.coco import CocoRawLoader
+        from ..models.ssd.coco_eval import CocoMAP
+
+        val = CocoRawLoader(ds_val, cfg.batch_size, task.cfg.image_size,
+                            max_gt=task.max_gt, train=False)
+        predict = jax.jit(lambda p, m, im: task.predict(
+            p, m, im, max_out=100, score_threshold=0.05))
+        ev = CocoMAP()
+        for batch in val:
+            boxes, scores, labels, valid = predict(
+                state.params, state.model_state, jnp.asarray(batch["image"]))
+            for i in range(batch["image"].shape[0]):
+                keep = np.asarray(valid[i])
+                gv = batch["valid"][i]
+                ev.add_image(np.asarray(boxes[i])[keep],
+                             np.asarray(labels[i])[keep],
+                             np.asarray(scores[i])[keep],
+                             batch["boxes"][i][gv], batch["labels"][i][gv])
+        m = ev.compute()
+        logger.log((), {"val.bbox_mAP": m["mAP"],
+                        "val.bbox_mAP50": m["mAP50"]})
 
 
 def run_maskrcnn(cfg: CommonConfig) -> None:

@@ -91,3 +91,42 @@ def test_efficientdet_predict_shapes():
     assert scores.shape == (2, 10)
     assert labels.shape == (2, 10)
     assert valid.shape == (2, 10)
+
+
+def test_efficientdet_cli_coco_eval(tmp_path):
+    """--data-backend coco with a val split reports bbox mAP."""
+    import json as _json
+
+    from PIL import Image
+
+    from deeplearningexamples_tpu.cli.main import cli
+
+    rng = np.random.default_rng(0)
+    for split in ("train2017", "val2017"):
+        (tmp_path / split).mkdir()
+    (tmp_path / "annotations").mkdir()
+    for split in ("train2017", "val2017"):
+        images, annotations = [], []
+        for i in range(2):
+            name = f"{split}_{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+            ).save(tmp_path / split / name, "JPEG")
+            images.append({"id": i, "file_name": name,
+                           "width": 100, "height": 100})
+            annotations.append({
+                "id": i, "image_id": i, "category_id": 1,
+                "bbox": [20, 20, 50, 50], "iscrowd": 0, "area": 2500,
+            })
+        doc = {"images": images, "annotations": annotations,
+               "categories": [{"id": 1, "name": "thing"}]}
+        (tmp_path / "annotations" / f"instances_{split}.json").write_text(
+            _json.dumps(doc))
+    ws = tmp_path / "ws"
+    cli([
+        "efficientdet", "--data-backend", "coco", "--data-dir", str(tmp_path),
+        "--batch-size", "2", "--epochs", "1", "--image-size", "128",
+        "--lr", "1e-3", "--workspace", str(ws), "--amp", "false",
+        "--rng-impl", "threefry",
+    ])
+    assert "val.bbox_mAP" in (ws / "efficientdet_raport.json").read_text()
