@@ -391,6 +391,115 @@ class SquadCliConfig(CommonConfig):
     init_checkpoint: str = ""  # torch BERT checkpoint to fine-tune from
 
 
+@dataclasses.dataclass
+class GlueCliConfig(CommonConfig):
+    bert_model: str = "base"
+    task_name: str = "mrpc"  # mrpc | sst-2 | cola
+    max_seq_length: int = 128
+    vocab_file: str = ""
+    init_checkpoint: str = ""  # torch BERT checkpoint to fine-tune from
+
+
+# TSV column layouts per task (reference run_glue.py processors)
+_GLUE_COLS = {
+    "mrpc": dict(text_a_col=3, text_b_col=4, label_col=0),
+    "sst-2": dict(text_a_col=0, text_b_col=None, label_col=1),
+    "cola": dict(text_a_col=3, text_b_col=None, label_col=1),
+}
+
+
+def run_bert_glue(cfg: GlueCliConfig) -> None:
+    """GLUE fine-tuning (reference ``run_glue.py``): train.tsv/dev.tsv in
+    --data-dir, dev accuracy (+ Matthews corr for CoLA) each epoch."""
+    import optax
+
+    from ..models.bert import BERT_CONFIGS
+    from ..models.bert.glue import (
+        GlueTask, convert_pair_features, matthews_corrcoef, read_tsv,
+    )
+
+    mesh, logger = _common_setup(cfg, "bert_glue")
+    task = GlueTask(BERT_CONFIGS[cfg.bert_model], num_labels=2,
+                    dtype=_dtype(cfg))
+    params, mstate = task.init(jax.random.key(cfg.seed),
+                               seq_len=cfg.max_seq_length)
+    if cfg.init_checkpoint:
+        from ..utils.torch_import import convert_bert, load_torch_state_dict
+
+        params = dict(params)
+        params["bert"] = convert_bert(
+            load_torch_state_dict(cfg.init_checkpoint),
+            task.cfg.padded_vocab, task.cfg.num_layers,
+        )
+    cols = _GLUE_COLS[cfg.task_name]
+    if cfg.data_dir and cfg.vocab_file:
+        from ..data.tokenization import BertTokenizer
+
+        tok = BertTokenizer(cfg.vocab_file)
+        train = convert_pair_features(
+            read_tsv(f"{cfg.data_dir}/train.tsv", **cols), tok,
+            cfg.max_seq_length,
+        )
+        dev = convert_pair_features(
+            read_tsv(f"{cfg.data_dir}/dev.tsv", **cols), tok,
+            cfg.max_seq_length,
+        )
+    else:  # synthetic benchmark mode
+        rng = np.random.default_rng(cfg.seed)
+
+        def synth(n):
+            return {
+                "input_ids": rng.integers(
+                    1, 30000, (n, cfg.max_seq_length)).astype(np.int32),
+                "attention_mask": np.ones((n, cfg.max_seq_length), np.int32),
+                "token_type_ids": np.zeros((n, cfg.max_seq_length), np.int32),
+                "label": rng.integers(0, 2, n).astype(np.int32),
+            }
+        train, dev = synth(cfg.batch_size * cfg.steps_per_epoch), \
+            synth(cfg.batch_size)
+
+    def batches(data, bs, shuffle_seed=None):
+        n = len(data["label"])
+        order = np.arange(n)
+        if shuffle_seed is not None:
+            np.random.default_rng(shuffle_seed).shuffle(order)
+        out = []
+        for i in range(0, n - bs + 1, bs):
+            idx = order[i:i + bs]
+            out.append({k: v[idx] for k, v in data.items()})
+        return out
+
+    loader = batches(train, cfg.batch_size, shuffle_seed=cfg.seed)
+    total = cfg.epochs * len(loader)
+    sched = opt.lr_poly_warmup(cfg.lr or 2e-5, max(total // 10, 1), total,
+                               power=1.0)
+    tx = optax.adamw(sched, weight_decay=0.01)
+    state = create_train_state(params, tx, _train_key(cfg), mstate)
+    ckpt = CheckpointManager(f"{cfg.workspace}/bert_glue_ckpt")
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
+    train_step = make_train_step(task.loss_fn, tx, accum_steps=cfg.accum_steps)
+    state, _ = train_loop(
+        state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size, start_epoch=start_epoch,
+    )
+    # dev evaluation (reference do_eval: accuracy; CoLA reports MCC)
+    infer = jax.jit(lambda p, b: task.model.apply(
+        {"params": p}, b["input_ids"], b["attention_mask"],
+        b["token_type_ids"]))
+    preds, labels = [], []
+    for b in batches(dev, min(cfg.batch_size, len(dev["label"]))):
+        preds.append(np.argmax(np.asarray(infer(state.params, b)), -1))
+        labels.append(b["label"])
+    if preds:
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        out = {"dev.accuracy": float((preds == labels).mean())}
+        if cfg.task_name == "cola":
+            out["dev.mcc"] = matthews_corrcoef(preds, labels)
+        logger.log((), out)
+
+
 def run_bert_squad(cfg: SquadCliConfig) -> None:
     import optax
 
@@ -1177,6 +1286,7 @@ MODELS = {
     "maskrcnn": run_maskrcnn,
     "bert-pretrain": run_bert_pretrain,
     "bert-squad": run_bert_squad,
+    "bert-glue": run_bert_glue,
     "dlrm": run_dlrm,
     "transformer": run_transformer,
     "ncf": run_ncf,
@@ -1196,6 +1306,7 @@ MODELS = {
 }
 
 _CONFIG_CLS = {"bert-pretrain": BertCliConfig, "dlrm": DlrmCliConfig,
+               "bert-glue": GlueCliConfig,
                "bart": BartCliConfig,
                "bert-squad": SquadCliConfig}
 
