@@ -21,7 +21,8 @@ import optax
 
 from ..ops import flash_attention
 
-__all__ = ["Wav2Vec2Config", "Wav2Vec2", "Wav2Vec2Task"]
+__all__ = ["Wav2Vec2Config", "Wav2Vec2", "Wav2Vec2Task",
+           "Wav2Vec2ForCTC", "Wav2Vec2CtcTask"]
 
 
 @dataclass(frozen=True)
@@ -147,6 +148,8 @@ class Wav2Vec2(nn.Module):
         return self.feat_ln(z)
 
     def contextualize(self, latents, mask, deterministic=True):
+        """Context network output (B, T, d_model) — the representation
+        fine-tuning heads consume (pre final_proj)."""
         x = self.feat_proj(latents)
         x = jnp.where(
             mask[:, :, None], self.mask_embedding.astype(self.dtype)[None, None],
@@ -154,7 +157,7 @@ class Wav2Vec2(nn.Module):
         )
         for blk in self.blocks:
             x = blk(x, deterministic)
-        return self.final_proj(x.astype(jnp.float32))  # (B, T, codevector_dim)
+        return x
 
     def __call__(self, audio, mask, tau=2.0, rngs_quant=None,
                  deterministic: bool = True):
@@ -162,7 +165,9 @@ class Wav2Vec2(nn.Module):
         q, perplexity = self.quantizer(
             z, tau, rngs_quant if rngs_quant is not None else jax.random.key(0)
         )
-        c = self.contextualize(z, mask, deterministic)
+        c = self.final_proj(
+            self.contextualize(z, mask, deterministic).astype(jnp.float32)
+        )  # (B, T, codevector_dim)
         return c, q, perplexity
 
 
@@ -241,3 +246,81 @@ class Wav2Vec2Task:
         loss = contrastive + cfg.diversity_weight * diversity
         return loss, (model_state, {"contrastive": contrastive,
                                     "diversity": diversity})
+
+
+class Wav2Vec2ForCTC(nn.Module):
+    """Fine-tuning head (reference ``wav2vec2/model.py Wav2VecCtc`` /
+    fairseq ``Wav2VecEncoder``): the pretrained feature encoder + context
+    network with a linear CTC vocabulary projection on top. Pretrained
+    parameters drop in under the ``w2v`` subtree."""
+
+    cfg: Wav2Vec2Config
+    vocab_size: int = 32  # blank + chars (reference letter vocab)
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.w2v = Wav2Vec2(self.cfg, self.dtype)
+        self.head = nn.Dense(self.vocab_size, dtype=jnp.float32)
+
+    def __call__(self, audio, mask=None, deterministic: bool = True):
+        z = self.w2v.features(audio)
+        if mask is None:
+            mask = jnp.zeros(z.shape[:2], bool)
+        x = self.w2v.contextualize(z, mask, deterministic)
+        return jax.nn.log_softmax(self.head(x.astype(jnp.float32)), axis=-1)
+
+
+@dataclass
+class Wav2Vec2CtcTask:
+    """Fine-tuning task (reference ``wav2vec2/train.py`` finetune stage).
+
+    Batch: ``audio`` (B, T), ``frame_paddings`` (B, frames) 1=pad,
+    ``labels`` (B, L), ``label_paddings`` (B, L) 1=pad. Time-masking
+    (SpecAugment role) is applied with ``mask_prob`` during training —
+    the reference masks spans at fine-tune time too (``apply_mask``).
+    """
+
+    cfg: Wav2Vec2Config = Wav2Vec2Config()
+    vocab_size: int = 32
+    dtype: Any = jnp.bfloat16
+    mask_prob: float = 0.05
+
+    def __post_init__(self):
+        self.model = Wav2Vec2ForCTC(self.cfg, self.vocab_size, self.dtype)
+
+    def init(self, rng, audio_len=16000, batch=2, pretrained=None):
+        """``pretrained``: params from Wav2Vec2Task pretraining — grafted
+        under ``w2v`` (the reference's --w2v_path checkpoint load)."""
+        r1, r2 = jax.random.split(rng)
+        audio = jnp.zeros((batch, audio_len))
+        params = self.model.init(
+            {"params": r1, "dropout": r2}, audio, deterministic=True,
+        )["params"]
+        if pretrained is not None:
+            params = dict(params, w2v=pretrained)
+        return params, {}
+
+    def _n_frames(self, t):
+        for _, k, s in self.cfg.conv_layers:
+            t = (t - k) // s + 1
+        return t
+
+    def loss_fn(self, params, model_state, batch, rng):
+        frames = batch["frame_paddings"].shape[1]
+        r_mask, r_drop = jax.random.split(rng)
+        # span time-masking on the fly (device-side Bernoulli starts)
+        mask = jax.random.bernoulli(
+            r_mask, self.mask_prob, (batch["audio"].shape[0], frames)
+        )
+        logp = self.model.apply(
+            {"params": params}, batch["audio"], mask, deterministic=False,
+            rngs={"dropout": r_drop},
+        )
+        import optax as _optax
+
+        per_seq = _optax.ctc_loss(
+            logp, batch["frame_paddings"].astype(jnp.float32),
+            batch["labels"], batch["label_paddings"].astype(jnp.float32),
+        )
+        loss = jnp.mean(per_seq)
+        return loss, (model_state, {})

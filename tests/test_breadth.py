@@ -387,3 +387,59 @@ def test_gpunet_trains():
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all() and losses[-1] < losses[0], losses
+
+
+def test_wav2vec2_ctc_finetune_from_pretrained():
+    """Fine-tune: pretrained params graft under the CTC model's w2v
+    subtree bit-exactly, and CTC training learns a toy transcript
+    (reference wav2vec2 finetune stage)."""
+    import optax
+
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.asr import greedy_ctc_decode
+    from deeplearningexamples_tpu.models.wav2vec2 import (
+        Wav2Vec2Config, Wav2Vec2CtcTask, Wav2Vec2Task,
+    )
+
+    cfg = Wav2Vec2Config(
+        conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+        d_model=32, n_heads=2, n_layers=2, d_ff=64,
+        n_groups=2, n_entries=16, codevector_dim=16,
+        n_negatives=12, mask_span=4, dropout=0.0,
+    )
+    pre = Wav2Vec2Task(cfg, dtype=jnp.float32)
+    pre_params, _ = pre.init(jax.random.key(0), audio_len=800)
+
+    task = Wav2Vec2CtcTask(cfg, vocab_size=6, dtype=jnp.float32,
+                           mask_prob=0.0)
+    params, _ = task.init(jax.random.key(1), audio_len=800,
+                          pretrained=pre_params)
+    # the pretrained subtree transfers bit-exactly
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(params["w2v"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(pre_params)[0]),
+    )
+
+    rng = np.random.default_rng(0)
+    audio_len = 800
+    frames = task._n_frames(audio_len)
+    batch = {
+        "audio": jnp.asarray(rng.normal(size=(2, audio_len)),
+                             jnp.float32) * 0.1,
+        "frame_paddings": jnp.zeros((2, frames)),
+        "labels": jnp.asarray([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32),
+        "label_paddings": jnp.asarray([[0, 0, 0, 1], [0, 0, 1, 1]],
+                                      jnp.float32),
+    }
+    tx = optax.adam(3e-3)
+    state = create_train_state(params, tx, jax.random.key(2))
+    step = make_train_step(task.loss_fn, tx, donate=False)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+    logp = task.model.apply({"params": state.params}, batch["audio"])
+    decoded = greedy_ctc_decode(np.asarray(logp))
+    assert decoded[0][:3] == [1, 2, 3]  # memorized the transcript
