@@ -500,6 +500,140 @@ def run_bert_glue(cfg: GlueCliConfig) -> None:
         logger.log((), out)
 
 
+@dataclasses.dataclass
+class SwagCliConfig(CommonConfig):
+    bert_model: str = "base"
+    max_seq_length: int = 128
+    vocab_file: str = ""
+    init_checkpoint: str = ""
+
+
+def run_bert_swag(cfg: SwagCliConfig) -> None:
+    """SWAG multiple choice (reference ``run_swag.py``): train.csv/val.csv
+    with (sent1, sent2, ending0..3, label) in --data-dir; val accuracy
+    after training."""
+    import csv as _csv
+
+    import optax
+
+    from ..models.bert import BERT_CONFIGS
+    from ..models.bert.modeling import BertForMultipleChoice
+
+    mesh, logger = _common_setup(cfg, "bert_swag")
+    bcfg = BERT_CONFIGS[cfg.bert_model]
+    model = BertForMultipleChoice(bcfg, num_choices=4, dtype=_dtype(cfg))
+
+    def loss_fn(params, model_state, batch, rng):
+        logits = model.apply(
+            {"params": params}, batch["input_ids"], batch["attention_mask"],
+            batch["token_type_ids"], deterministic=False,
+            rngs={"dropout": rng},
+        )
+        loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["label"]))
+        return loss, (model_state, {})
+
+    def featurize(rows, tok):
+        # rows: (context, [4 endings], label); features (N, 4, S)
+        n, s = len(rows), cfg.max_seq_length
+        ids = np.zeros((n, 4, s), np.int32)
+        mask = np.zeros((n, 4, s), np.int32)
+        seg = np.zeros((n, 4, s), np.int32)
+        y = np.zeros((n,), np.int32)
+        for i, (context, endings, label) in enumerate(rows):
+            ta = tok.tokenize(context)
+            for c, end in enumerate(endings):
+                tb = tok.tokenize(end)
+                while len(ta) + len(tb) > s - 3:
+                    (ta if len(ta) > len(tb) else tb).pop()
+                tokens = ["[CLS]"] + ta + ["[SEP]"] + tb + ["[SEP]"]
+                ii = tok.convert_tokens_to_ids(tokens)
+                ids[i, c, :len(ii)] = ii
+                mask[i, c, :len(ii)] = 1
+                seg[i, c, len(ta) + 2:len(ii)] = 1
+            y[i] = label
+        return {"input_ids": ids, "attention_mask": mask,
+                "token_type_ids": seg, "label": y}
+
+    def read_swag(path):
+        rows = []
+        with open(path) as f:
+            r = _csv.reader(f)
+            header = next(r)
+            col = {k: i for i, k in enumerate(header)}
+            for line in r:
+                context = line[col["sent1"]] + " " + line[col["sent2"]]
+                endings = [line[col[f"ending{i}"]] for i in range(4)]
+                rows.append((context, endings, int(line[col["label"]])))
+        return rows
+
+    if cfg.data_dir and cfg.vocab_file:
+        from ..data.tokenization import BertTokenizer
+
+        tok = BertTokenizer(cfg.vocab_file)
+        train = featurize(read_swag(f"{cfg.data_dir}/train.csv"), tok)
+        val = featurize(read_swag(f"{cfg.data_dir}/val.csv"), tok)
+    else:
+        rng = np.random.default_rng(cfg.seed)
+
+        def synth(n):
+            return {
+                "input_ids": rng.integers(
+                    1, 30000, (n, 4, cfg.max_seq_length)).astype(np.int32),
+                "attention_mask": np.ones((n, 4, cfg.max_seq_length),
+                                          np.int32),
+                "token_type_ids": np.zeros((n, 4, cfg.max_seq_length),
+                                           np.int32),
+                "label": rng.integers(0, 4, n).astype(np.int32),
+            }
+        train = synth(cfg.batch_size * cfg.steps_per_epoch)
+        val = synth(cfg.batch_size)
+
+    ids0 = jnp.zeros((2, 4, cfg.max_seq_length), jnp.int32)
+    params = model.init(
+        {"params": jax.random.key(cfg.seed), "dropout": jax.random.key(1)},
+        ids0, ids0, ids0, deterministic=True,
+    )["params"]
+    if cfg.init_checkpoint:
+        from ..utils.torch_import import convert_bert, load_torch_state_dict
+
+        params = dict(params)
+        params["bert"] = convert_bert(
+            load_torch_state_dict(cfg.init_checkpoint),
+            bcfg.padded_vocab, bcfg.num_layers,
+        )
+
+    def batches(data, bs):
+        n = len(data["label"])
+        return [{k: v[i:i + bs] for k, v in data.items()}
+                for i in range(0, n - bs + 1, bs)]
+
+    loader = batches(train, cfg.batch_size)
+    total = cfg.epochs * len(loader)
+    sched = opt.lr_poly_warmup(cfg.lr or 2e-5, max(total // 10, 1), total,
+                               power=1.0)
+    tx = optax.adamw(sched, weight_decay=0.01)
+    state = create_train_state(params, tx, _train_key(cfg), {})
+    ckpt = CheckpointManager(f"{cfg.workspace}/bert_swag_ckpt")
+    state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
+    train_step = make_train_step(loss_fn, tx, accum_steps=cfg.accum_steps)
+    state, _ = train_loop(
+        state, train_step, lambda: prefetch_to_device(iter(loader), mesh),
+        cfg=_loop_cfg(cfg), logger=logger, checkpoints=ckpt,
+        batch_size=cfg.batch_size, start_epoch=start_epoch,
+    )
+    infer = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b["input_ids"], b["attention_mask"],
+        b["token_type_ids"]))
+    preds, labels = [], []
+    for b in batches(val, min(cfg.batch_size, len(val["label"]))):
+        preds.append(np.argmax(np.asarray(infer(state.params, b)), -1))
+        labels.append(b["label"])
+    if preds:
+        acc = float((np.concatenate(preds) == np.concatenate(labels)).mean())
+        logger.log((), {"val.accuracy": acc})
+
+
 def run_bert_squad(cfg: SquadCliConfig) -> None:
     import optax
 
@@ -1287,6 +1421,7 @@ MODELS = {
     "bert-pretrain": run_bert_pretrain,
     "bert-squad": run_bert_squad,
     "bert-glue": run_bert_glue,
+    "bert-swag": run_bert_swag,
     "dlrm": run_dlrm,
     "transformer": run_transformer,
     "ncf": run_ncf,
@@ -1306,7 +1441,7 @@ MODELS = {
 }
 
 _CONFIG_CLS = {"bert-pretrain": BertCliConfig, "dlrm": DlrmCliConfig,
-               "bert-glue": GlueCliConfig,
+               "bert-glue": GlueCliConfig, "bert-swag": SwagCliConfig,
                "bart": BartCliConfig,
                "bert-squad": SquadCliConfig}
 

@@ -490,3 +490,34 @@ def test_cli_bert_glue_mrpc(tmp_path):
     ])
     report = (ws / "bert_glue_raport.json").read_text()
     assert "dev.accuracy" in report
+
+
+def test_cli_bert_swag(tmp_path):
+    """bert-swag: SWAG csv layout trains and reports val accuracy."""
+    import csv
+
+    from deeplearningexamples_tpu.cli.main import cli
+
+    header = ["sent1", "sent2", "ending0", "ending1", "ending2", "ending3",
+              "label"]
+    rows = [
+        ["the cat sat", "on the", "mat .", "dog .", "winter .", "fast .", 0],
+        ["birds fly", "south in", "mat .", "dog .", "winter .", "fast .", 2],
+        ["a dog ran", "very", "mat .", "dog .", "winter .", "fast .", 3],
+        ["the mat sat", "on a", "mat .", "dog .", "winter .", "fast .", 1],
+    ]
+    for split in ("train", "val"):
+        with open(tmp_path / f"{split}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(VOCAB) + "\n")
+    ws = tmp_path / "ws"
+    cli([
+        "bert-swag", "--bert-model", "tiny", "--data-dir", str(tmp_path),
+        "--vocab-file", str(vocab), "--max-seq-length", "32",
+        "--batch-size", "4", "--epochs", "1", "--lr", "1e-4",
+        "--workspace", str(ws), "--amp", "false", "--rng-impl", "threefry",
+    ])
+    assert "val.accuracy" in (ws / "bert_swag_raport.json").read_text()
