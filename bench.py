@@ -96,10 +96,9 @@ def bench_bert():
     from deeplearningexamples_tpu.ops.lamb import lamb
 
     bs, seq, max_pred = 64, 128, 20
-    import dataclasses as _dc
-    # perf config: flash-kernel path (prob-dropout falls back to masked
-    # softmax; reference-parity regularization is a training-quality flag)
-    bcfg = _dc.replace(BERT_CONFIGS["large"], attention_dropout=0.0)
+    # full reference semantics: attention-prob dropout 0.1 runs in-kernel
+    # via the stateless-hash mask (measured free: 440.7 vs 441.3 seq/s)
+    bcfg = BERT_CONFIGS["large"]
     task = BertPretrainTask(bcfg, jnp.bfloat16, max_predictions=max_pred)
     params, mstate = task.init(jax.random.key(0), seq_len=seq)
     tx = lamb(lambda c: 6e-3, weight_decay=0.01, moment_dtype=jnp.bfloat16)

@@ -135,20 +135,17 @@ class BertSelfAttention(nn.Module):
         qkv = qkv.reshape(b, s, 3, h, hd)
         if not deterministic and cfg.attention_dropout > 0.0:
             # reference drops attention PROBABILITIES (modeling.py:355);
-            # the flash kernel has no prob-dropout path, so training takes
-            # the masked-softmax route (probs materialized, remat'd away)
-            q = qkv[:, :, 0].transpose(0, 2, 1, 3).astype(jnp.float32)
-            k = qkv[:, :, 1].transpose(0, 2, 1, 3).astype(jnp.float32)
-            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
-            logits = jnp.where(attention_mask[:, None, None, :] > 0,
-                               logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1)
-            probs = nn.Dropout(cfg.attention_dropout)(
-                probs, deterministic=False
+            # the kernel applies the mask in-VMEM via a stateless hash —
+            # a fresh int32 seed per step comes from the flax dropout rng
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), -2**31, 2**31 - 1,
+                dtype=jnp.int32,
             )
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
-            ctx = ctx.transpose(0, 2, 1, 3)
+            ctx = flash_attention(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
+                key_mask=attention_mask, layout="bshd",
+                dropout_rate=cfg.attention_dropout, dropout_seed=seed,
+            )
         else:
             ctx = flash_attention(
                 qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],

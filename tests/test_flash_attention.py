@@ -172,3 +172,110 @@ def test_kblocked_bshd_layout():
     ref = mha_reference(*(t.transpose(0, 2, 1, 3) for t in (q, k, v)))
     np.testing.assert_allclose(np.asarray(out.transpose(0, 2, 1, 3)),
                                np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def _reference_with_hash_dropout(q, k, v, seed, rate, key_mask=None):
+    """jnp reference applying the SAME stateless hash mask the kernel
+    uses (bhsd path salt = bi * H + hi) — enables exact-equality tests."""
+    from deeplearningexamples_tpu.ops.flash_attention import _dropout_scale
+
+    b, h, s, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if key_mask is not None:
+        logits = jnp.where(key_mask[:, None, None, :].astype(bool),
+                           logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    rows = jnp.arange(s, dtype=jnp.int32)[:, None] * jnp.ones((1, s), jnp.int32)
+    cols = jnp.arange(s, dtype=jnp.int32)[None, :] * jnp.ones((s, 1), jnp.int32)
+    drops = jnp.stack([
+        jnp.stack([
+            _dropout_scale(rows, cols, jnp.int32(seed), bi * h + hi, rate)
+            for hi in range(h)
+        ]) for bi in range(b)
+    ])  # (B, H, S, S)
+    return jnp.einsum("bhqk,bhkd->bhqd", p * drops, v.astype(jnp.float32))
+
+
+def test_inkernel_dropout_matches_hash_reference():
+    """The kernel's dropout must EXACTLY equal softmax->mask->V with the
+    same hash mask, forward and backward — not just statistically."""
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 2, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    rate, seed = 0.3, 1234
+
+    out = flash_attention(q, k, v, block_q=32, dropout_rate=rate,
+                          dropout_seed=seed)
+    ref = _reference_with_hash_dropout(q, k, v, seed, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # dropped fraction is near the rate
+    kept = float((np.asarray(out) != 0).mean())
+    assert kept > 0.5  # outputs mix many keys; just sanity that it ran
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=32, dropout_rate=rate,
+                            dropout_seed=seed)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = _reference_with_hash_dropout(q, k, v, seed, rate)
+        return jnp.sum(o * jnp.sin(o))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_inkernel_dropout_seed_and_rate_semantics():
+    rng = np.random.default_rng(1)
+    b, h, s, d = 1, 2, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    # rate 0 == plain flash
+    base = flash_attention(q, k, v, block_q=32)
+    z = flash_attention(q, k, v, block_q=32, dropout_rate=0.0,
+                        dropout_seed=7)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(z))
+    # same seed -> deterministic; different seed -> different
+    a1 = flash_attention(q, k, v, block_q=32, dropout_rate=0.5,
+                         dropout_seed=7)
+    a2 = flash_attention(q, k, v, block_q=32, dropout_rate=0.5,
+                         dropout_seed=7)
+    a3 = flash_attention(q, k, v, block_q=32, dropout_rate=0.5,
+                         dropout_seed=8)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert not np.allclose(np.asarray(a1), np.asarray(a3))
+    # expectation preserved (inverted-scale dropout): means agree loosely
+    assert abs(float(a1.mean()) - float(base.mean())) < 0.05
+
+
+def test_inkernel_dropout_bshd_layout():
+    rng = np.random.default_rng(2)
+    b, s, h, d = 2, 64, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    mask = np.ones((b, s), np.int32)
+    mask[1, 48:] = 0
+    mask = jnp.asarray(mask)
+    out = flash_attention(q, k, v, key_mask=mask, block_q=32, layout="bshd",
+                          dropout_rate=0.4, dropout_seed=99)
+    assert out.shape == (b, s, h, d)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic
+    out2 = flash_attention(q, k, v, key_mask=mask, block_q=32, layout="bshd",
+                           dropout_rate=0.4, dropout_seed=99)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # gradients flow
+    g = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, key_mask=mask, block_q=32, layout="bshd",
+        dropout_rate=0.4, dropout_seed=99) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()
