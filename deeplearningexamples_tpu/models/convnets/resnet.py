@@ -82,9 +82,12 @@ class Bottleneck(nn.Module):
         y = self.conv(d, (1, 1), name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        # v1.5: stride on the 3x3
+        # v1.5: stride on the 3x3. Explicit pad-1 (not SAME): XLA SAME pads
+        # asymmetrically for stride 2 on even extents, which would shift
+        # sampling positions vs the reference's symmetric torch padding.
         y = self.conv(
             d, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
             feature_group_count=self.cardinality, name="conv2",
         )(y)
         y = self.norm(name="bn2")(y)
@@ -118,10 +121,11 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         residual = x
         out_ch = self.width * self.expansion
-        y = self.conv(self.width, (3, 3), strides=(self.stride, self.stride), name="conv1")(x)
+        y = self.conv(self.width, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = self.conv(out_ch, (3, 3), name="conv2")(y)
+        y = self.conv(out_ch, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(y)
         y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
         if self.use_se:
             y = SqueezeExcite(self.se_squeeze, dtype=self.dtype, name="se")(y)

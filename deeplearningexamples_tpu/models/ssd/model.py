@@ -83,8 +83,10 @@ class SSD300(nn.Module):
         feat = SSDResNetBackbone(self.dtype, name="backbone")(x, train)
         features = [feat]
         # extra blocks: 1x1 reduce -> 3x3 (stride 2 for maps 2-4, valid for 5-6)
+        # explicit pad-1 on the stride-2 convs (torch padding=1 semantics;
+        # XLA SAME would pad right-only on even extents — half-pixel shift)
         strides = [2, 2, 2, 1, 1]
-        paddings = ["SAME", "SAME", "SAME", "VALID", "VALID"]
+        paddings = [[(1, 1), (1, 1)]] * 3 + ["VALID", "VALID"]
         for i, (mid, out) in enumerate(zip(EXTRA_MID, EXTRA_CHANNELS[1:])):
             y = conv(mid, (1, 1), use_bias=False, name=f"extra{i}_conv1")(features[-1])
             y = norm(name=f"extra{i}_bn1")(y)

@@ -46,17 +46,17 @@ def multibox_loss(loc_pred, conf_pred, loc_target, cls_target, neg_ratio: int = 
     # hard negative mining: rank negatives by loss via double argsort
     con_neg = jnp.where(pos, 0.0, con)
     rank = jnp.argsort(jnp.argsort(-con_neg, axis=1), axis=1)  # 0 = hardest
-    num_neg = jnp.clip(neg_ratio * num_pos, 0, pos.shape[1] - 1)[:, None]
+    num_neg = jnp.clip(neg_ratio * num_pos, 0, pos.shape[1])[:, None]
     neg = rank < num_neg  # (B, N)
 
     conf_loss = jnp.sum(con * (pos | neg), axis=1)  # (B,)
 
     total = loc_loss + conf_loss
-    # average over positive count, zero where image has no positives
-    denom = jnp.maximum(num_pos, 1e-6)
-    per_image = total / denom
-    valid = num_pos > 0
-    return jnp.sum(per_image * valid) / jnp.maximum(jnp.sum(valid), 1)
+    # reference semantics (``ssd/model.py:190-196``): per-image loss divided
+    # by its positive count, no-positive images contribute 0, then a plain
+    # mean over the batch dimension (not over valid images only)
+    per_image = total / jnp.maximum(num_pos, 1e-6)
+    return jnp.mean(per_image * (num_pos > 0))
 
 
 @dataclass

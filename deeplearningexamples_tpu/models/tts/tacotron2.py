@@ -88,7 +88,10 @@ class Encoder(nn.Module):
                              epsilon=1e-5, dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
             x = nn.Dropout(0.5)(x, deterministic=deterministic)
-            x = x * mask[:, :, None]
+        # NOTE: no per-conv length masking — the reference convs read the
+        # pad-symbol embeddings (``Encoder.forward`` :210-214); only the LSTM
+        # respects lengths (pack_padded), and pad positions are zeroed below
+        # exactly like pad_packed_sequence.
         half = cfg.encoder_embedding_dim // 2
         fwd = nn.RNN(nn.OptimizedLSTMCell(half, dtype=self.dtype), name="lstm_fwd")
         bwd = nn.RNN(nn.OptimizedLSTMCell(half, dtype=self.dtype), name="lstm_bwd",

@@ -115,8 +115,11 @@ class WaveGlow(nn.Module):
     def setup(self):
         cfg = self.cfg
         sizes = self._flow_channels()
+        # VALID: out = (T-1)*stride + kernel, exactly torch ConvTranspose1d
+        # with padding=0 (reference :172-176); SAME would crop the tail taps
         self.upsample = nn.ConvTranspose(
-            cfg.n_mel_channels, (1024,), strides=(cfg.hop_length,), dtype=self.dtype
+            cfg.n_mel_channels, (1024,), strides=(cfg.hop_length,),
+            padding="VALID", dtype=self.dtype
         )
         self.conv1x1 = [
             Invertible1x1Conv(sizes[k], self.dtype, name=f"conv1x1_{k}")

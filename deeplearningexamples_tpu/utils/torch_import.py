@@ -19,7 +19,15 @@ from typing import Any, Mapping
 
 import numpy as np
 
-__all__ = ["load_torch_state_dict", "convert_resnet50", "convert_bert"]
+__all__ = [
+    "load_torch_state_dict",
+    "convert_resnet50",
+    "convert_bert",
+    "convert_ssd300",
+    "convert_tacotron2",
+    "convert_waveglow",
+    "convert_dlrm",
+]
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -87,6 +95,280 @@ def convert_resnet50(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
             params[dst], stats[dst] = blk_p, blk_s
     params["fc"] = {"kernel": _dense(sd["fc.weight"]), "bias": sd["fc.bias"]}
     return params, stats
+
+
+def _conv1d(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d (out, in, k) -> flax (k, in, out)."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def _wn_fold(sd: Mapping[str, np.ndarray], prefix: str) -> np.ndarray:
+    """Fold torch ``weight_norm`` (weight_g, weight_v) into an effective
+    Conv1d weight: w = g * v / ||v||, norm over (in, k) per output channel."""
+    g = sd[f"{prefix}.weight_g"]
+    v = sd[f"{prefix}.weight_v"]
+    norm = np.sqrt((v * v).sum(axis=(1, 2), keepdims=True))
+    return g * v / norm
+
+
+def _lstm(
+    sd: Mapping[str, np.ndarray], prefix: str, suffix: str = ""
+) -> dict:
+    """torch LSTM/LSTMCell params -> flax ``OptimizedLSTMCell`` tree.
+
+    torch packs gates as rows [i, f, g, o] of ``weight_ih``/``weight_hh``
+    and carries two bias vectors (summed here); flax keeps one Dense per
+    gate: ``ii/if/ig/io`` (input, no bias) + ``hi/hf/hg/ho`` (hidden, bias).
+    """
+    w_ih = sd[f"{prefix}.weight_ih{suffix}"]
+    w_hh = sd[f"{prefix}.weight_hh{suffix}"]
+    b = sd[f"{prefix}.bias_ih{suffix}"] + sd[f"{prefix}.bias_hh{suffix}"]
+    h = w_hh.shape[1]
+    out = {}
+    for gi, gate in enumerate("ifgo"):
+        sl = slice(gi * h, (gi + 1) * h)
+        out[f"i{gate}"] = {"kernel": _dense(w_ih[sl])}
+        out[f"h{gate}"] = {"kernel": _dense(w_hh[sl]), "bias": b[sl]}
+    return out
+
+
+def convert_ssd300(
+    sd: Mapping[str, np.ndarray], num_classes: int = 81
+) -> tuple[dict, dict]:
+    """Reference SSD300 state_dict (``ssd/model.py:55-129``) ->
+    (params, batch_stats) for ``models/ssd/SSD300``.
+
+    The loc/conf heads need an output-channel permutation: the reference's
+    ``bbox_view`` reshape (:106-113) reads conv channels coordinate-major
+    (coord*num_anchors + anchor) while our NHWC reshape reads them
+    anchor-major (anchor*width + coord).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(dst_p: dict, dst_s: dict, name: str, prefix: str):
+        p, s = _bn(sd, prefix)
+        dst_p[name], dst_s[name] = p, s
+
+    # backbone: feature_extractor.feature_extractor.{0=conv1,1=bn1,4..6=layer1..3}
+    bb_p: dict = {}
+    bb_s: dict = {}
+    fe = "feature_extractor.feature_extractor"
+    bb_p["conv1"] = {"kernel": _conv(sd[f"{fe}.0.weight"])}
+    bn(bb_p, bb_s, "bn1", f"{fe}.1")
+    for li, (slot, n_blocks) in enumerate(zip((4, 5, 6), (3, 4, 6))):
+        for bi in range(n_blocks):
+            src = f"{fe}.{slot}.{bi}"
+            blk_p: dict = {}
+            blk_s: dict = {}
+            for ci in (1, 2, 3):
+                blk_p[f"conv{ci}"] = {"kernel": _conv(sd[f"{src}.conv{ci}.weight"])}
+                bn(blk_p, blk_s, f"bn{ci}", f"{src}.bn{ci}")
+            if f"{src}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{src}.downsample.0.weight"])
+                }
+                bn(blk_p, blk_s, "downsample_bn", f"{src}.downsample.1")
+            bb_p[f"layer{li + 1}_{bi}"] = blk_p
+            bb_s[f"layer{li + 1}_{bi}"] = blk_s
+    params["backbone"], stats["backbone"] = bb_p, bb_s
+
+    # extra feature blocks: additional_blocks.{i}.{0=conv1x1,1=bn,3=conv3x3,4=bn}
+    for i in range(5):
+        src = f"additional_blocks.{i}"
+        params[f"extra{i}_conv1"] = {"kernel": _conv(sd[f"{src}.0.weight"])}
+        p, s = _bn(sd, f"{src}.1")
+        params[f"extra{i}_bn1"], stats[f"extra{i}_bn1"] = p, s
+        params[f"extra{i}_conv2"] = {"kernel": _conv(sd[f"{src}.3.weight"])}
+        p, s = _bn(sd, f"{src}.4")
+        params[f"extra{i}_bn2"], stats[f"extra{i}_bn2"] = p, s
+
+    # heads with channel permutation
+    anchors = (4, 6, 6, 6, 4, 4)
+    for i, na in enumerate(anchors):
+        loc_perm = np.array(
+            [k * na + a for a in range(na) for k in range(4)]
+        )
+        conf_perm = np.array(
+            [c * na + a for a in range(na) for c in range(num_classes)]
+        )
+        params[f"loc{i}"] = {
+            "kernel": _conv(sd[f"loc.{i}.weight"])[..., loc_perm],
+            "bias": sd[f"loc.{i}.bias"][loc_perm],
+        }
+        params[f"conf{i}"] = {
+            "kernel": _conv(sd[f"conf.{i}.weight"])[..., conf_perm],
+            "bias": sd[f"conf.{i}.bias"][conf_perm],
+        }
+    return params, stats
+
+
+def convert_tacotron2(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
+    """Reference Tacotron2 state_dict (``tacotron2/model.py:598-691``) ->
+    (params, batch_stats) for ``models/tts/Tacotron2``."""
+    params: dict = {}
+    stats: dict = {}
+
+    enc_p: dict = {"embedding": {"embedding": sd["embedding.weight"]}}
+    enc_s: dict = {}
+    for i in range(3):
+        src = f"encoder.convolutions.{i}"
+        enc_p[f"conv{i}"] = {
+            "kernel": _conv1d(sd[f"{src}.0.conv.weight"]),
+            "bias": sd[f"{src}.0.conv.bias"],
+        }
+        p, s = _bn(sd, f"{src}.1")
+        enc_p[f"bn{i}"], enc_s[f"bn{i}"] = p, s
+    # the RNN cells are Encoder-scope children (constructed inline, flax
+    # names them in creation order: 0 = forward, 1 = backward)
+    enc_p["OptimizedLSTMCell_0"] = _lstm(sd, "encoder.lstm", "_l0")
+    enc_p["OptimizedLSTMCell_1"] = _lstm(sd, "encoder.lstm", "_l0_reverse")
+    params["encoder"], stats["encoder"] = enc_p, enc_s
+
+    params["memory_layer"] = {
+        "kernel": _dense(sd["decoder.attention_layer.memory_layer.linear_layer.weight"])
+    }
+
+    att = "decoder.attention_layer"
+    cell_p: dict = {
+        "prenet": {
+            "fc0": {"kernel": _dense(sd["decoder.prenet.layers.0.linear_layer.weight"])},
+            "fc1": {"kernel": _dense(sd["decoder.prenet.layers.1.linear_layer.weight"])},
+        },
+        "attention_rnn": _lstm(sd, "decoder.attention_rnn"),
+        "location_conv": {
+            "kernel": _conv1d(sd[f"{att}.location_layer.location_conv.conv.weight"])
+        },
+        "location_dense": {
+            "kernel": _dense(sd[f"{att}.location_layer.location_dense.linear_layer.weight"])
+        },
+        "query_layer": {"kernel": _dense(sd[f"{att}.query_layer.linear_layer.weight"])},
+        "v": {"kernel": _dense(sd[f"{att}.v.linear_layer.weight"])},
+        "decoder_rnn": _lstm(sd, "decoder.decoder_rnn"),
+        "linear_projection": {
+            "kernel": _dense(sd["decoder.linear_projection.linear_layer.weight"]),
+            "bias": sd["decoder.linear_projection.linear_layer.bias"],
+        },
+        "gate_layer": {
+            "kernel": _dense(sd["decoder.gate_layer.linear_layer.weight"]),
+            "bias": sd["decoder.gate_layer.linear_layer.bias"],
+        },
+    }
+    params["cell"] = cell_p
+
+    post_p: dict = {}
+    post_s: dict = {}
+    for i in range(5):
+        src = f"postnet.convolutions.{i}"
+        post_p[f"conv{i}"] = {
+            "kernel": _conv1d(sd[f"{src}.0.conv.weight"]),
+            "bias": sd[f"{src}.0.conv.bias"],
+        }
+        p, s = _bn(sd, f"{src}.1")
+        post_p[f"bn{i}"], post_s[f"bn{i}"] = p, s
+    params["postnet"], stats["postnet"] = post_p, post_s
+    return params, stats
+
+
+def convert_waveglow(
+    sd: Mapping[str, np.ndarray],
+    n_flows: int = 12,
+    n_layers: int = 8,
+    n_mel: int = 80,
+    n_group: int = 8,
+) -> dict:
+    """Reference WaveGlow state_dict (``waveglow/model.py:160-381``) ->
+    params for ``models/tts/WaveGlow``.
+
+    Three re-layouts beyond plain transposes:
+    - ``upsample`` ConvTranspose1d (in, out, k) -> flax (k, in, out) with the
+      spatial axis REVERSED (lax.conv_transpose correlates, torch convolves);
+    - ``cond_layer`` input channels: the reference's spect unfold (:202-204)
+      is mel-major (mel*n_group + group), ours is group-major;
+    - WN ``end``: the reference reads b from the FIRST half and log_s from
+      the SECOND (:225-227); we emit (log_s, b) — output rows swap.
+    Weight-normed convs (weight_g/weight_v) are folded to effective weights.
+    """
+    params: dict = {
+        "upsample": {
+            "kernel": np.ascontiguousarray(
+                np.transpose(sd["upsample.weight"], (2, 0, 1))[::-1]
+            ),
+            "bias": sd["upsample.bias"],
+        }
+    }
+    # group-major index g*n_mel + m <- mel-major index m*n_group + g
+    cond_perm = np.array(
+        [m * n_group + g for g in range(n_group) for m in range(n_mel)]
+    )
+    for k in range(n_flows):
+        # convinv: torch conv1d weight (c, c, 1), out = W @ z; ours z @ w => w = W^T
+        w = sd[f"convinv.{k}.conv.weight"][..., 0]
+        params[f"conv1x1_{k}"] = {"weight": np.transpose(w)}
+
+        wn_src = f"WN.{k}"
+        # the reference keeps one cond conv per WN layer (``cond_layers``
+        # ModuleList, :124-126); ours is a single fused conv over all layers
+        # — stack along the output-channel axis in layer order
+        cond_w = np.concatenate(
+            [
+                _conv1d(_wn_fold(sd, f"{wn_src}.cond_layers.{i}"))
+                for i in range(n_layers)
+            ],
+            axis=2,
+        )
+        cond_b = np.concatenate(
+            [sd[f"{wn_src}.cond_layers.{i}.bias"] for i in range(n_layers)]
+        )
+        wn: dict = {
+            "start": {
+                "kernel": _conv1d(_wn_fold(sd, f"{wn_src}.start")),
+                "bias": sd[f"{wn_src}.start.bias"],
+            },
+            "cond_layer": {"kernel": cond_w[:, cond_perm, :], "bias": cond_b},
+        }
+        for i in range(n_layers):
+            wn[f"in_layer{i}"] = {
+                "kernel": _conv1d(_wn_fold(sd, f"{wn_src}.in_layers.{i}")),
+                "bias": sd[f"{wn_src}.in_layers.{i}.bias"],
+            }
+            wn[f"res_skip{i}"] = {
+                "kernel": _conv1d(_wn_fold(sd, f"{wn_src}.res_skip_layers.{i}")),
+                "bias": sd[f"{wn_src}.res_skip_layers.{i}.bias"],
+            }
+        end_w = sd[f"{wn_src}.end.weight"]
+        end_b = sd[f"{wn_src}.end.bias"]
+        n_half = end_w.shape[0] // 2
+        swap = np.concatenate([np.arange(n_half, 2 * n_half), np.arange(n_half)])
+        wn["end"] = {"kernel": _conv1d(end_w[swap]), "bias": end_b[swap]}
+        params[f"wn_{k}"] = wn
+    return params
+
+
+def convert_dlrm(
+    bottom_weights: list[np.ndarray],
+    bottom_biases: list[np.ndarray],
+    embedding_tables: list[np.ndarray],
+    top_weights: list[np.ndarray],
+    top_biases: list[np.ndarray],
+    total_rows: int,
+) -> dict:
+    """Reference DLRM tensors (``dlrm/nn/parts.py:27-135``) -> params for
+    ``models/dlrm/Dlrm``: per-table embeddings concatenate row-wise into the
+    joint table (pad rows zero), MLP (out,in) weights transpose, and the
+    reference's top MLP split (hidden stack + separate ``out`` Linear) maps
+    onto our single ``top_mlp_*`` chain."""
+    params: dict = {}
+    for i, (w, b) in enumerate(zip(bottom_weights, bottom_biases)):
+        params[f"bottom_mlp_{i}"] = {"kernel": _dense(w), "bias": b}
+    for i, (w, b) in enumerate(zip(top_weights, top_biases)):
+        params[f"top_mlp_{i}"] = {"kernel": _dense(w), "bias": b}
+    joint = np.concatenate(embedding_tables, axis=0)
+    if joint.shape[0] < total_rows:
+        pad = np.zeros((total_rows - joint.shape[0], joint.shape[1]), joint.dtype)
+        joint = np.concatenate([joint, pad], axis=0)
+    params["embedding_table"] = joint
+    return params
 
 
 def convert_bert(
