@@ -389,6 +389,9 @@ class SquadCliConfig(CommonConfig):
     train_file: str = ""
     predict_file: str = ""  # dev json; enables EM/F1 eval (run_squad --do_predict)
     init_checkpoint: str = ""  # torch BERT checkpoint to fine-tune from
+    # SQuAD v2 (reference --version_2_with_negative + --null_score_diff_threshold)
+    version_2_with_negative: bool = False
+    null_score_diff_threshold: float = 0.0
 
 
 @dataclasses.dataclass
@@ -458,7 +461,7 @@ def run_bert_glue(cfg: GlueCliConfig) -> None:
         train, dev = synth(cfg.batch_size * cfg.steps_per_epoch), \
             synth(cfg.batch_size)
 
-    def batches(data, bs, shuffle_seed=None):
+    def batches(data, bs, shuffle_seed=None, include_tail=False):
         n = len(data["label"])
         order = np.arange(n)
         if shuffle_seed is not None:
@@ -466,6 +469,9 @@ def run_bert_glue(cfg: GlueCliConfig) -> None:
         out = []
         for i in range(0, n - bs + 1, bs):
             idx = order[i:i + bs]
+            out.append({k: v[idx] for k, v in data.items()})
+        if include_tail and n % bs:  # eval must score every example
+            idx = order[n - n % bs:]
             out.append({k: v[idx] for k, v in data.items()})
         return out
 
@@ -488,7 +494,8 @@ def run_bert_glue(cfg: GlueCliConfig) -> None:
         {"params": p}, b["input_ids"], b["attention_mask"],
         b["token_type_ids"]))
     preds, labels = [], []
-    for b in batches(dev, min(cfg.batch_size, len(dev["label"]))):
+    for b in batches(dev, min(cfg.batch_size, len(dev["label"])),
+                     include_tail=True):
         preds.append(np.argmax(np.asarray(infer(state.params, b)), -1))
         labels.append(b["label"])
     if preds:
@@ -603,10 +610,13 @@ def run_bert_swag(cfg: SwagCliConfig) -> None:
             bcfg.padded_vocab, bcfg.num_layers,
         )
 
-    def batches(data, bs):
+    def batches(data, bs, include_tail=False):
         n = len(data["label"])
-        return [{k: v[i:i + bs] for k, v in data.items()}
-                for i in range(0, n - bs + 1, bs)]
+        out = [{k: v[i:i + bs] for k, v in data.items()}
+               for i in range(0, n - bs + 1, bs)]
+        if include_tail and n % bs:  # eval must score every example
+            out.append({k: v[n - n % bs:] for k, v in data.items()})
+        return out
 
     loader = batches(train, cfg.batch_size)
     total = cfg.epochs * len(loader)
@@ -626,7 +636,8 @@ def run_bert_swag(cfg: SwagCliConfig) -> None:
         {"params": p}, b["input_ids"], b["attention_mask"],
         b["token_type_ids"]))
     preds, labels = [], []
-    for b in batches(val, min(cfg.batch_size, len(val["label"]))):
+    for b in batches(val, min(cfg.batch_size, len(val["label"])),
+                     include_tail=True):
         preds.append(np.argmax(np.asarray(infer(state.params, b)), -1))
         labels.append(b["label"])
     if preds:
@@ -689,7 +700,9 @@ def run_bert_squad(cfg: SquadCliConfig) -> None:
         from ..models.bert import (
             predict_squad, read_squad_references, write_predictions,
         )
-        from ..models.bert.squad_eval import squad_evaluate
+        from ..models.bert.squad_eval import (
+            apply_null_threshold, find_best_null_threshold, squad_evaluate,
+        )
 
         dev_feats = to_features(
             read_examples(cfg.predict_file, is_training=False), Tok(cfg.vocab_file),
@@ -698,9 +711,29 @@ def run_bert_squad(cfg: SquadCliConfig) -> None:
         refs = read_squad_references(cfg.predict_file)
 
         def eval_fn(state):
-            preds = predict_squad(task, state.params, dev_feats, cfg.batch_size)
-            write_predictions(preds, f"{cfg.workspace}/predictions.json")
-            return squad_evaluate(preds, refs)
+            if not cfg.version_2_with_negative:
+                preds = predict_squad(task, state.params, dev_feats, cfg.batch_size)
+                write_predictions(preds, f"{cfg.workspace}/predictions.json")
+                return squad_evaluate(preds, refs)
+            # v2: unthresholded span text + null odds, then the configured
+            # threshold for the reported metric and a best-threshold sweep
+            # (reference run_squad + evaluate-v2.0 find_best_thresh)
+            preds, null_odds = predict_squad(
+                task, state.params, dev_feats, cfg.batch_size,
+                version_2_with_negative=True,
+                null_score_diff_threshold=float("inf"),
+                return_null_odds=True,
+            )
+            thresholded = apply_null_threshold(
+                preds, null_odds, cfg.null_score_diff_threshold
+            )
+            write_predictions(thresholded, f"{cfg.workspace}/predictions.json")
+            write_predictions(null_odds, f"{cfg.workspace}/null_odds.json")
+            metrics = squad_evaluate(thresholded, refs)
+            best_t, best_m = find_best_null_threshold(preds, null_odds, refs)
+            metrics["best_f1"] = best_m["f1"]
+            metrics["best_f1_thresh"] = best_t
+            return metrics
 
         watch, watch_mode = "f1", "max"
     total = cfg.epochs * len(loader)
@@ -947,7 +980,7 @@ def run_efficientdet(cfg: CommonConfig) -> None:
         for batch in val:
             boxes, scores, labels, valid = predict(
                 state.params, state.model_state, jnp.asarray(batch["image"]))
-            for i in range(batch["image"].shape[0]):
+            for i in range(batch.get("n_valid", batch["image"].shape[0])):
                 keep = np.asarray(valid[i])
                 gv = batch["valid"][i]
                 ev.add_image(np.asarray(boxes[i])[keep],
@@ -1019,7 +1052,7 @@ def run_maskrcnn(cfg: CommonConfig) -> None:
         for batch in val:
             boxes, scores, labels, valid, masks = predict(
                 state.params, state.model_state, jnp.asarray(batch["image"]))
-            for i in range(batch["image"].shape[0]):
+            for i in range(batch.get("n_valid", batch["image"].shape[0])):
                 keep = np.asarray(valid[i])
                 db = np.asarray(boxes[i])[keep]
                 dl = np.asarray(labels[i])[keep]

@@ -148,7 +148,9 @@ class CocoSSDLoader:
         self.epoch = 0
 
     def __len__(self):
-        return len(self.samples) // self.batch_size
+        if self.train:
+            return len(self.samples) // self.batch_size
+        return -(-len(self.samples) // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed + self.epoch)
@@ -158,9 +160,18 @@ class CocoSSDLoader:
             else np.arange(len(self.samples))
         )
         bs = self.batch_size
+        # train drops the remainder (reference DALI behaviour); eval pads the
+        # final batch with repeats so no val image is skipped — only the real
+        # rows are listed in ``gt`` for the evaluator
+        n_real_total = len(order)
+        if not self.train and n_real_total % bs:
+            order = np.concatenate(
+                [order, np.full(bs - n_real_total % bs, order[-1])]
+            )
         for i in range(0, len(order) - bs + 1, bs):
+            n_real = min(bs, n_real_total - i)
             jpegs, crops, flips, loc_t, cls_t, gt_info = [], [], [], [], [], []
-            for j in order[i : i + bs]:
+            for bi, j in enumerate(order[i : i + bs]):
                 path, boxes, labels, img_id = self.samples[j]
                 with open(path, "rb") as f:
                     jpegs.append(f.read())
@@ -179,7 +190,8 @@ class CocoSSDLoader:
                 l, c = encode(self.dboxes, boxes, labels)
                 loc_t.append(l)
                 cls_t.append(c)
-                gt_info.append((img_id, boxes, labels))
+                if bi < n_real:
+                    gt_info.append((img_id, boxes, labels))
             images = self.plane.decode_batch(
                 jpegs, np.asarray(crops, np.float32), np.asarray(flips, np.int32),
                 self.image_size,
@@ -229,7 +241,9 @@ class CocoRawLoader:
         self.mask_grid = mask_grid
 
     def __len__(self):
-        return len(self.samples) // self.batch_size
+        if self.train:
+            return len(self.samples) // self.batch_size
+        return -(-len(self.samples) // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed + self.epoch)
@@ -237,7 +251,15 @@ class CocoRawLoader:
         order = (rng.permutation(len(self.samples)) if self.train
                  else np.arange(len(self.samples)))
         bs, s, g = self.batch_size, self.image_size, self.max_gt
+        # eval pads the final batch (train drops it); ``n_valid`` tells the
+        # consumer how many rows are real
+        n_real_total = len(order)
+        if not self.train and n_real_total % bs:
+            order = np.concatenate(
+                [order, np.full(bs - n_real_total % bs, order[-1])]
+            )
         for i in range(0, len(order) - bs + 1, bs):
+            n_real = min(bs, n_real_total - i)
             jpegs, crops, flips = [], [], []
             out_boxes = np.zeros((bs, g, 4), np.float32)
             out_labels = np.zeros((bs, g), np.int32)
@@ -290,6 +312,7 @@ class CocoRawLoader:
                 batch["masks"] = out_masks
             if not self.train:
                 batch["image_ids"] = np.asarray(img_ids, np.int64)
+                batch["n_valid"] = n_real
             yield batch
 
 

@@ -15,7 +15,14 @@ import string
 
 import numpy as np
 
-__all__ = ["decode_span", "exact_match_score", "f1_score", "squad_evaluate"]
+__all__ = [
+    "decode_span",
+    "exact_match_score",
+    "f1_score",
+    "squad_evaluate",
+    "apply_null_threshold",
+    "find_best_null_threshold",
+]
 
 
 def decode_span(
@@ -65,11 +72,55 @@ def f1_score(prediction: str, ground_truth: str) -> float:
 
 
 def squad_evaluate(predictions: dict[str, str], references: dict[str, list[str]]):
-    """{qid: pred_text} vs {qid: [answers]} -> {"exact_match", "f1"} (%)."""
+    """{qid: pred_text} vs {qid: [answers]} -> {"exact_match", "f1"} (%).
+
+    v2-compatible: a reference of ``[""]`` (unanswerable) scores 1.0 iff the
+    prediction is empty (the official evaluate-v2.0 convention)."""
     em, f1 = 0.0, 0.0
     for qid, refs in references.items():
         pred = predictions.get(qid, "")
+        if refs == [""]:  # unanswerable question
+            em += float(pred == "")
+            f1 += float(pred == "")
+            continue
         em += max(exact_match_score(pred, r) for r in refs)
         f1 += max(f1_score(pred, r) for r in refs)
     n = max(len(references), 1)
     return {"exact_match": 100.0 * em / n, "f1": 100.0 * f1 / n}
+
+
+def apply_null_threshold(
+    predictions: dict[str, str],
+    null_odds: dict[str, float],
+    threshold: float,
+) -> dict[str, str]:
+    """Empty-out predictions whose null odds exceed the threshold
+    (the reference's na-prob thresholding, ``run_squad.py:467-471``)."""
+    return {
+        qid: "" if null_odds.get(qid, float("-inf")) > threshold else text
+        for qid, text in predictions.items()
+    }
+
+
+def find_best_null_threshold(
+    predictions: dict[str, str],
+    null_odds: dict[str, float],
+    references: dict[str, list[str]],
+):
+    """Sweep the na-prob threshold over observed null-odds values and return
+    (best_threshold, best_metrics) by F1 — the official evaluate-v2.0
+    ``find_best_thresh`` role. ``predictions`` must be unthresholded
+    (best span text for every question)."""
+    candidates = sorted(set(null_odds.values()))
+    # thresholds between consecutive odds values + the extremes
+    sweep = [float("-inf")] + [
+        (a + b) / 2 for a, b in zip(candidates, candidates[1:])
+    ] + [float("inf")]
+    best = (float("inf"), {"exact_match": -1.0, "f1": -1.0})
+    for t in sweep:
+        m = squad_evaluate(
+            apply_null_threshold(predictions, null_odds, t), references
+        )
+        if m["f1"] > best[1]["f1"]:
+            best = (t, m)
+    return best

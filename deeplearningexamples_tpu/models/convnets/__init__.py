@@ -19,6 +19,7 @@ def build_model(arch: str, num_classes: int = 1000, dtype=None,
         return EfficientNet(EFFNET_ARCHS[arch], num_classes, dtype,
                             quantized=quantized)
     if arch in GPUNET_ARCHS:
-        return GPUNet(GPUNET_ARCHS[arch], num_classes, dtype)
+        return GPUNet(GPUNET_ARCHS[arch], num_classes, dtype,
+                      quantized=quantized)
     raise KeyError(f"unknown arch {arch!r}; available: "
                    f"{sorted(ARCHS) + sorted(EFFNET_ARCHS) + sorted(GPUNET_ARCHS)}")

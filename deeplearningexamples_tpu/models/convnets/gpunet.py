@@ -131,10 +131,14 @@ class GPUNet(nn.Module):
     arch: GPUNetArch
     num_classes: int = 1000
     dtype: Any = jnp.bfloat16
+    quantized: bool = False  # QAT: int8 fake-quant convs (same param tree)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+        if self.quantized:
+            from .quant import QATConv
+        conv = partial(QATConv if self.quantized else nn.Conv,
+                       use_bias=False, dtype=self.dtype,
                        kernel_init=nn.initializers.variance_scaling(
                            2.0, "fan_out", "normal"))
         norm = partial(nn.BatchNorm, use_running_average=not train,

@@ -314,8 +314,14 @@ class EfficientDetTask:
             best = jnp.max(scores, axis=1)
             label = jnp.argmax(scores, axis=1)
             decoded = _decode_boxes(self.anchors, box_i)
+            # per-class NMS (reference generate_detections runs NMS within
+            # each class): offset boxes by class id so co-located objects of
+            # different classes never suppress each other
+            shifted = decoded + (
+                label.astype(decoded.dtype) * (self.cfg.image_size + 1.0)
+            )[:, None]
             idx, valid = batched_nms(
-                decoded, best, iou_threshold=iou_threshold, max_out=max_out,
+                shifted, best, iou_threshold=iou_threshold, max_out=max_out,
                 score_threshold=score_threshold,
             )
             safe = jnp.clip(idx, 0)

@@ -421,7 +421,6 @@ class MaskRCNNTask:
 
         # --- ROI box head over all images' rois at once
         R = rois.shape[1]
-        flat_rois = rois.reshape(b * R, 4)
         pooled = jax.vmap(
             lambda f, r: _multilevel_roi_align(f, r, 7, cfg.strides)
         )([f for f in feats[:4]], rois)  # (B, R, 7, 7, C)

@@ -284,7 +284,11 @@ class MoFlow(nn.Module):
         adj = h_adj.transpose(0, 3, 1, 2)
         adj = (adj + adj.transpose(0, 1, 3, 2)) / 2
         adj = jax.nn.softmax(adj, axis=1)
-        adj = jnp.floor(adj / jnp.max(adj, axis=1, keepdims=True))
+        # argmax one-hot along the bond-type axis: exactly one active type
+        # per pair even on score ties (floor(adj/max) could emit several)
+        adj = jax.nn.one_hot(
+            jnp.argmax(adj, axis=1), cfg.n_bond_types, axis=1, dtype=adj.dtype
+        )
         x = self.atom_flow(adj, z_x, reverse=True)
         return adj, x
 

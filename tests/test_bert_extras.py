@@ -194,3 +194,66 @@ def test_attention_dropout_applied_in_training():
     trn = model0.apply(variables, ids, mask, tt, deterministic=False,
                        rngs={"dropout": jax.random.key(3)})[0]
     np.testing.assert_allclose(np.asarray(det), np.asarray(trn), atol=1e-5)
+
+
+def test_squad_v2_null_answer_machinery():
+    """v2 null-odds flow (reference run_squad.py:430-478): an unanswerable
+    question whose [CLS] logits dominate predicts empty; the threshold sweep
+    recovers perfect EM/F1 on a mixed fixture."""
+    import numpy as np
+
+    from deeplearningexamples_tpu.data.squad import SquadFeature
+    from deeplearningexamples_tpu.models.bert.predict import (
+        aggregate_predictions,
+    )
+    from deeplearningexamples_tpu.models.bert.squad_eval import (
+        apply_null_threshold, find_best_null_threshold, squad_evaluate,
+    )
+
+    s = 8
+
+    def feat(qid):
+        return SquadFeature(
+            qid=qid,
+            input_ids=np.zeros(s, np.int32),
+            attention_mask=np.ones(s, np.int32),
+            token_type_ids=np.zeros(s, np.int32),
+            start_position=0, end_position=0,
+            tokens=["[CLS]"] * s,
+            token_to_orig={3: 0, 4: 1, 5: 2},
+            token_is_max_context={3: True, 4: True, 5: True},
+            doc_tokens=["the", "answer", "here"],
+        )
+
+    features = [feat("q1"), feat("q2")]
+    start = np.full((2, s), -5.0, np.float32)
+    end = np.full((2, s), -5.0, np.float32)
+    # q1 answerable: span [3, 4] scores above null
+    start[0, 3], end[0, 4], start[0, 0], end[0, 0] = 4.0, 4.0, 0.0, 0.0
+    # q2 unanswerable: [CLS] dominates every span
+    start[1, 0], end[1, 0], start[1, 3], end[1, 3] = 6.0, 6.0, 1.0, 1.0
+
+    preds, odds = aggregate_predictions(
+        features, start, end, version_2_with_negative=True,
+        null_score_diff_threshold=0.0,
+    )
+    assert preds == {"q1": "the answer", "q2": ""}
+    assert odds["q1"] < 0 < odds["q2"]
+
+    # v1 path unchanged: no empties, no odds
+    preds_v1, odds_v1 = aggregate_predictions(features, start, end)
+    assert preds_v1["q2"] == "the"  # best span (3,3), no null option
+    assert odds_v1 == {}
+
+    # threshold sweep on unthresholded predictions recovers 100/100
+    raw, odds2 = aggregate_predictions(
+        features, start, end, version_2_with_negative=True,
+        null_score_diff_threshold=float("inf"),
+    )
+    refs = {"q1": ["the answer"], "q2": [""]}
+    t, m = find_best_null_threshold(raw, odds2, refs)
+    assert m["exact_match"] == 100.0 and m["f1"] == 100.0
+    assert odds2["q1"] <= t <= odds2["q2"]
+    # an extreme threshold kills the answerable question too
+    bad = squad_evaluate(apply_null_threshold(raw, odds2, float("-inf")), refs)
+    assert bad["f1"] == 50.0
