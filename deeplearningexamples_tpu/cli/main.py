@@ -427,11 +427,11 @@ def run_bert_glue(cfg: GlueCliConfig) -> None:
     params, mstate = task.init(jax.random.key(cfg.seed),
                                seq_len=cfg.max_seq_length)
     if cfg.init_checkpoint:
-        from ..utils.torch_import import convert_bert, load_torch_state_dict
+        from ..utils.torch_import import load_bert_encoder
 
         params = dict(params)
-        params["bert"] = convert_bert(
-            load_torch_state_dict(cfg.init_checkpoint),
+        params["bert"] = load_bert_encoder(
+            cfg.init_checkpoint,
             task.cfg.padded_vocab, task.cfg.num_layers,
         )
     cols = _GLUE_COLS[cfg.task_name]
@@ -602,11 +602,11 @@ def run_bert_swag(cfg: SwagCliConfig) -> None:
         ids0, ids0, ids0, deterministic=True,
     )["params"]
     if cfg.init_checkpoint:
-        from ..utils.torch_import import convert_bert, load_torch_state_dict
+        from ..utils.torch_import import load_bert_encoder
 
         params = dict(params)
-        params["bert"] = convert_bert(
-            load_torch_state_dict(cfg.init_checkpoint),
+        params["bert"] = load_bert_encoder(
+            cfg.init_checkpoint,
             bcfg.padded_vocab, bcfg.num_layers,
         )
 
@@ -654,14 +654,12 @@ def run_bert_squad(cfg: SquadCliConfig) -> None:
     task = BertSquadTask(BERT_CONFIGS[cfg.bert_model], _dtype(cfg))
     params, mstate = task.init(jax.random.key(cfg.seed), seq_len=cfg.max_seq_length)
     if cfg.init_checkpoint:
-        from ..utils.torch_import import convert_bert, load_torch_state_dict
+        from ..utils.torch_import import load_bert_encoder
 
-        bert_params = convert_bert(
-            load_torch_state_dict(cfg.init_checkpoint),
-            task.cfg.padded_vocab, task.cfg.num_layers,
-        )
         params = dict(params)
-        params["bert"] = bert_params
+        params["bert"] = load_bert_encoder(
+            cfg.init_checkpoint, task.cfg.padded_vocab, task.cfg.num_layers,
+        )
     if cfg.train_file and cfg.vocab_file:
         from ..data.squad import (
             SquadLoader, convert_examples_to_features, read_squad_examples,

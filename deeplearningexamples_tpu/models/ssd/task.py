@@ -17,6 +17,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .boxes import DefaultBoxes, dboxes300_coco, decode_batch
@@ -28,6 +29,52 @@ __all__ = ["SSDTask", "multibox_loss"]
 def smooth_l1(x):
     ax = jnp.abs(x)
     return jnp.where(ax < 1.0, 0.5 * x * x, ax - 0.5)
+
+
+# DALI's Hsv operates as a linear transform in YIQ space; BrightnessContrast
+# is out = brightness * (center + contrast * (x - center)) with center 128
+# on [0,255] inputs (reference ``ssd/coco_pipeline.py:63-69,118-119``).
+_RGB2YIQ = np.array([[0.299, 0.587, 0.114],
+                     [0.596, -0.274, -0.321],
+                     [0.211, -0.523, 0.311]], np.float32)
+_YIQ2RGB = np.linalg.inv(_RGB2YIQ).astype(np.float32)
+
+
+def color_twist(images, hue_deg, saturation, brightness, contrast,
+                contrast_center: float = 128.0 / 255.0):
+    """Reference SSD train-time color jitter on [0,1] RGB images (NHWC).
+
+    Per-image scalars: ``hue_deg`` (degrees), ``saturation``/``contrast``
+    in [0.5, 1.5], ``brightness`` in [0.875, 1.125] — the exact parameter
+    ranges of ``coco_pipeline.py:91-93``. Runs in-jit on device (XLA fuses
+    the whole chain into the input normalization) — the TPU-native home of
+    DALI's GPU color twist.
+    """
+    x = images.astype(jnp.float32)
+    yiq = jnp.einsum("bhwc,dc->bhwd", x, jnp.asarray(_RGB2YIQ))
+    h = jnp.deg2rad(hue_deg)[:, None, None]
+    s = saturation[:, None, None]
+    cos_h, sin_h = jnp.cos(h), jnp.sin(h)
+    y = yiq[..., 0]
+    i = s * (yiq[..., 1] * cos_h - yiq[..., 2] * sin_h)
+    q = s * (yiq[..., 1] * sin_h + yiq[..., 2] * cos_h)
+    x = jnp.einsum("bhwd,cd->bhwc", jnp.stack([y, i, q], -1),
+                   jnp.asarray(_YIQ2RGB))
+    b = brightness[:, None, None, None]
+    c = contrast[:, None, None, None]
+    x = b * (contrast_center + c * (x - contrast_center))
+    return jnp.clip(x, 0.0, 1.0).astype(images.dtype)
+
+
+def sample_color_twist_params(rng, batch: int):
+    """Draw the reference's per-image jitter scalars (ranges :91-93)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    return dict(
+        hue_deg=jax.random.uniform(k1, (batch,), minval=-0.5, maxval=0.5),
+        saturation=jax.random.uniform(k2, (batch,), minval=0.5, maxval=1.5),
+        brightness=jax.random.uniform(k3, (batch,), minval=0.875, maxval=1.125),
+        contrast=jax.random.uniform(k4, (batch,), minval=0.5, maxval=1.5),
+    )
 
 
 def multibox_loss(loc_pred, conf_pred, loc_target, cls_target, neg_ratio: int = 3):
@@ -64,6 +111,7 @@ class SSDTask:
     num_classes: int = 81
     dtype: Any = jnp.bfloat16
     dboxes: DefaultBoxes = field(default_factory=dboxes300_coco)
+    color_jitter: bool = True  # reference train-pipeline color twist
 
     def __post_init__(self):
         self.model = SSD300(self.num_classes, self.dtype)
@@ -76,8 +124,16 @@ class SSDTask:
         return params, model_state
 
     def loss_fn(self, params, model_state, batch, rng):
+        images = batch["image"]
+        if self.color_jitter:
+            # reference train pipeline jitters hue/sat/brightness/contrast
+            # (coco_pipeline.py:69-79); here in-jit, fused by XLA
+            jitter_rng = jax.random.fold_in(rng, 1)
+            images = color_twist(
+                images, **sample_color_twist_params(jitter_rng, images.shape[0])
+            )
         (loc, conf), mutated = self.model.apply(
-            {"params": params, **model_state}, batch["image"], train=True,
+            {"params": params, **model_state}, images, train=True,
             mutable=list(model_state.keys()) or False,
         )
         if not model_state:

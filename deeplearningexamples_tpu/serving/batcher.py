@@ -31,6 +31,7 @@ __all__ = ["ContinuousBatcher"]
 class _Request:
     inputs: Any  # pytree of np arrays WITHOUT batch dim
     future: Future
+    t_enqueue: float = 0.0
 
 
 class ContinuousBatcher:
@@ -46,6 +47,11 @@ class ContinuousBatcher:
         self.max_delay_s = max_delay_s
         self.pad_value = pad_value
         self._q: queue.Queue[_Request | None] = queue.Queue()
+        # latency decomposition (the in-process split the tunnel can't
+        # pollute): batcher wait = enqueue -> dispatch start; device time =
+        # jitted call + fetch. Rolling per-dispatch records.
+        self._stats_lock = threading.Lock()
+        self._records: list[tuple[int, float, float]] = []  # (n, wait, device)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
         self._thread.start()
@@ -64,8 +70,31 @@ class ContinuousBatcher:
     # -- client side -------------------------------------------------------
     def submit(self, inputs: Any) -> Future:
         fut: Future = Future()
-        self._q.put(_Request(inputs, fut))
+        self._q.put(_Request(inputs, fut, time.perf_counter()))
         return fut
+
+    def stats(self, reset: bool = False) -> dict:
+        """Per-dispatch latency split: mean/p50/p95 of batcher wait (queueing
+        + bucket fill) and device time (jitted call + result fetch), plus the
+        mean dispatched batch size. Times in milliseconds."""
+        with self._stats_lock:
+            recs = list(self._records)
+            if reset:
+                self._records.clear()
+        if not recs:
+            return {"dispatches": 0}
+        waits = np.asarray([r[1] for r in recs]) * 1e3
+        devs = np.asarray([r[2] for r in recs]) * 1e3
+        return {
+            "dispatches": len(recs),
+            "mean_batch": float(np.mean([r[0] for r in recs])),
+            "wait_ms_mean": float(waits.mean()),
+            "wait_ms_p50": float(np.percentile(waits, 50)),
+            "wait_ms_p95": float(np.percentile(waits, 95)),
+            "device_ms_mean": float(devs.mean()),
+            "device_ms_p50": float(np.percentile(devs, 50)),
+            "device_ms_p95": float(np.percentile(devs, 95)),
+        }
 
     def infer(self, inputs: Any, timeout: float | None = None) -> Any:
         return self.submit(inputs).result(timeout)
@@ -107,12 +136,18 @@ class ContinuousBatcher:
     def _dispatch(self, batch: list[_Request]) -> None:
         n = len(batch)
         b = self._bucket(n)
+        t_start = time.perf_counter()
+        wait = float(np.mean([t_start - r.t_enqueue for r in batch]))
         try:
             stacked = jax.tree_util.tree_map(
                 lambda *xs: self._pad_stack(xs, b), *[r.inputs for r in batch]
             )
             out = self.infer_fn(stacked)
             out_np = jax.tree_util.tree_map(np.asarray, out)
+            with self._stats_lock:
+                self._records.append((n, wait, time.perf_counter() - t_start))
+                if len(self._records) > 10000:
+                    del self._records[:5000]
             for i, r in enumerate(batch):
                 r.future.set_result(
                     jax.tree_util.tree_map(lambda x: x[i], out_np)

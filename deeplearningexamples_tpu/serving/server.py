@@ -75,6 +75,11 @@ class InferenceServer:
                     if ep is None:
                         self._send(404, {"error": f"unknown model {name}"})
                         return
+                    if self.path.endswith("/stats"):
+                        # chip-side latency split (batcher wait vs device
+                        # time) — measured in-process, tunnel-independent
+                        self._send(200, ep.batcher.stats())
+                        return
                     self._send(200, {
                         "name": name,
                         "inputs": {

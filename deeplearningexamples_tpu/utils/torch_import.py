@@ -23,6 +23,8 @@ __all__ = [
     "load_torch_state_dict",
     "convert_resnet50",
     "convert_bert",
+    "convert_bert_tf",
+    "load_bert_encoder",
     "convert_ssd300",
     "convert_tacotron2",
     "convert_waveglow",
@@ -95,6 +97,92 @@ def convert_resnet50(sd: Mapping[str, np.ndarray]) -> tuple[dict, dict]:
             params[dst], stats[dst] = blk_p, blk_s
     params["fc"] = {"kernel": _dense(sd["fc.weight"]), "bias": sd["fc.bias"]}
     return params, stats
+
+
+def load_bert_encoder(path: str, padded_vocab: int, num_layers: int) -> dict:
+    """Dispatch a BERT encoder import by checkpoint format: a TF v1 bundle
+    (``x.ckpt`` with an ``x.ckpt.index`` sibling — the NGC/Google format)
+    goes through ``convert_bert_tf``; anything else is read as a torch
+    pickle via ``load_torch_state_dict`` + ``convert_bert``."""
+    import os
+
+    if os.path.exists(path + ".index"):
+        return convert_bert_tf(path, padded_vocab, num_layers)
+    return convert_bert(load_torch_state_dict(path), padded_vocab, num_layers)
+
+
+def convert_bert_tf(ckpt_path: str, padded_vocab: int, num_layers: int) -> dict:
+    """TF v1 BERT checkpoint (the format NGC/Google checkpoints ship in) ->
+    models/bert params. The role of the reference's
+    ``load_tf_weights_in_bert`` (``LanguageModeling/BERT/modeling.py:61``),
+    except TF kernels are already (in, out) — flax layout — so no transposes.
+    LayerNorm gamma/beta map to scale/bias; QKV are fused column-wise."""
+    from tensorflow.python.training import py_checkpoint_reader
+
+    reader = py_checkpoint_reader.NewCheckpointReader(ckpt_path)
+    g = reader.get_tensor
+
+    def pad_vocab(w):
+        out = np.zeros((padded_vocab, w.shape[1]), w.dtype)
+        out[: w.shape[0]] = w
+        return out
+
+    params: dict = {
+        "embeddings": {
+            "word_embeddings": {
+                "embedding": pad_vocab(g("bert/embeddings/word_embeddings"))
+            },
+            "position_embeddings": {
+                "embedding": g("bert/embeddings/position_embeddings")
+            },
+            "token_type_embeddings": {
+                "embedding": g("bert/embeddings/token_type_embeddings")
+            },
+            "LayerNorm": {
+                "scale": g("bert/embeddings/LayerNorm/gamma"),
+                "bias": g("bert/embeddings/LayerNorm/beta"),
+            },
+        },
+        "pooler": {
+            "kernel": g("bert/pooler/dense/kernel"),
+            "bias": g("bert/pooler/dense/bias"),
+        },
+    }
+    for i in range(num_layers):
+        src = f"bert/encoder/layer_{i}"
+        qkv_w = np.concatenate(
+            [g(f"{src}/attention/self/{n}/kernel") for n in ("query", "key", "value")],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [g(f"{src}/attention/self/{n}/bias") for n in ("query", "key", "value")]
+        )
+        params[f"layer_{i}"] = {
+            "attention": {
+                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                "output": {
+                    "kernel": g(f"{src}/attention/output/dense/kernel"),
+                    "bias": g(f"{src}/attention/output/dense/bias"),
+                },
+            },
+            "attention_ln": {
+                "scale": g(f"{src}/attention/output/LayerNorm/gamma"),
+                "bias": g(f"{src}/attention/output/LayerNorm/beta"),
+            },
+            "intermediate": {
+                "kernel": g(f"{src}/intermediate/dense/kernel"),
+                "bias": g(f"{src}/intermediate/dense/bias"),
+            },
+            "ffn_output": {
+                "kernel": g(f"{src}/output/dense/kernel"),
+                "bias": g(f"{src}/output/dense/bias"),
+            },
+            "output_ln": {
+                "scale": g(f"{src}/output/LayerNorm/gamma"),
+                "bias": g(f"{src}/output/LayerNorm/beta"),
+            },
+        }
+    return params
 
 
 def _conv1d(w: np.ndarray) -> np.ndarray:

@@ -117,3 +117,69 @@ def test_ssd_train_step():
         state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < l0 * 2
+
+
+def test_color_twist_reference_semantics():
+    """DALI color-twist parity properties (reference coco_pipeline.py:63-93):
+    identity at neutral params, brightness is a pure scale, contrast pivots
+    at 128/255, hue/saturation leave gray pixels (I=Q=0) unchanged, and the
+    full transform matches an independent numpy YIQ oracle."""
+    import numpy as np
+
+    from deeplearningexamples_tpu.models.ssd.task import (
+        color_twist, sample_color_twist_params,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.1, 0.9, (2, 8, 8, 3)).astype(np.float32)
+    ones = np.ones(2, np.float32)
+    zeros = np.zeros(2, np.float32)
+
+    # neutral params -> identity
+    out = np.asarray(color_twist(jnp.asarray(x), zeros, ones, ones, ones))
+    np.testing.assert_allclose(out, x, atol=1e-3)
+
+    # brightness multiplies: b*(c0 + 1*(x-c0)) = b*x
+    out = np.asarray(color_twist(jnp.asarray(x), zeros, ones, 1.1 * ones, ones))
+    np.testing.assert_allclose(out, np.clip(1.1 * x, 0, 1), atol=1e-3)
+
+    # contrast pivots at 128/255
+    c0 = 128.0 / 255.0
+    gray = np.full_like(x, c0)
+    out = np.asarray(color_twist(jnp.asarray(gray), zeros, 1.5 * ones, ones,
+                                 0.5 * ones))
+    np.testing.assert_allclose(out, gray, atol=1e-3)  # fp32 YIQ roundtrip
+
+    # gray pixels are hue/saturation invariant (I = Q = 0)
+    out = np.asarray(color_twist(jnp.asarray(gray), 0.4 * ones, 1.5 * ones,
+                                 ones, ones))
+    np.testing.assert_allclose(out, gray, atol=1e-3)
+
+    # full transform vs a numpy YIQ oracle
+    hue = np.array([0.3, -0.5], np.float32)
+    sat = np.array([0.6, 1.4], np.float32)
+    bri = np.array([0.9, 1.1], np.float32)
+    con = np.array([0.5, 1.5], np.float32)
+    m = np.array([[0.299, 0.587, 0.114],
+                  [0.596, -0.274, -0.321],
+                  [0.211, -0.523, 0.311]])
+    expect = np.empty_like(x)
+    for b in range(2):
+        yiq = x[b] @ m.T
+        h = np.deg2rad(hue[b])
+        i = sat[b] * (yiq[..., 1] * np.cos(h) - yiq[..., 2] * np.sin(h))
+        q = sat[b] * (yiq[..., 1] * np.sin(h) + yiq[..., 2] * np.cos(h))
+        rgb = np.stack([yiq[..., 0], i, q], -1) @ np.linalg.inv(m).T
+        expect[b] = np.clip(bri[b] * (c0 + con[b] * (rgb - c0)), 0, 1)
+    out = np.asarray(color_twist(jnp.asarray(x), jnp.asarray(hue),
+                                 jnp.asarray(sat), jnp.asarray(bri),
+                                 jnp.asarray(con)))
+    np.testing.assert_allclose(out, expect, atol=1e-3)  # fp32 vs fp64 inv
+
+    # sampled params live in the reference ranges
+    p = sample_color_twist_params(jax.random.key(0), 64)
+    assert (np.asarray(p["hue_deg"]) >= -0.5).all()
+    assert (np.asarray(p["hue_deg"]) <= 0.5).all()
+    assert (np.asarray(p["saturation"]) >= 0.5).all()
+    assert (np.asarray(p["brightness"]) <= 1.125).all()
+    assert (np.asarray(p["contrast"]) <= 1.5).all()

@@ -135,3 +135,75 @@ def test_resnet50_state_dict_remap(tmp_path):
         jnp.zeros((1, 64, 64, 3)), train=False,
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_bert_tf_checkpoint_import(tmp_path):
+    """TF v1 checkpoint importer (reference load_tf_weights_in_bert,
+    modeling.py:61): write HF torch weights into a TF-named v1 bundle and
+    assert the TF path reproduces the torch conversion exactly."""
+    tf = pytest.importorskip("tensorflow")
+    from transformers import BertConfig as HFConfig, BertModel as HFBert
+
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_bert_tf, load_bert_encoder,
+    )
+
+    hf = HFBert(HFConfig(
+        vocab_size=64, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32,
+    )).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    torch_params = convert_bert({k: v for k, v in sd.items()}, 64, 2)
+
+    # torch name/layout -> TF name/layout (dense kernels transpose to
+    # (in, out); LayerNorm weight/bias -> gamma/beta)
+    def tf_name(k):
+        k = "bert/" + k.replace(".", "/")
+        k = k.replace("embeddings/word_embeddings/weight",
+                      "embeddings/word_embeddings")
+        k = k.replace("embeddings/position_embeddings/weight",
+                      "embeddings/position_embeddings")
+        k = k.replace("embeddings/token_type_embeddings/weight",
+                      "embeddings/token_type_embeddings")
+        k = k.replace("encoder/layer/", "encoder/layer_")
+        k = k.replace("LayerNorm/weight", "LayerNorm/gamma")
+        k = k.replace("LayerNorm/bias", "LayerNorm/beta")
+        k = k.replace("/weight", "/kernel")
+        # HF names dense submodules ".dense"; TF BERT self-attention doesn't
+        k = k.replace("attention/self/query/", "attention/self/query/")
+        return k
+
+    tf_vars = {}
+    for k, v in sd.items():
+        name = tf_name(k)
+        if name.endswith("/kernel") and v.ndim == 2:
+            v = v.T
+        tf_vars[name] = v
+
+    ckpt = str(tmp_path / "model.ckpt")
+    with tf.Graph().as_default():
+        tvars = [tf.compat.v1.get_variable(n, initializer=v)
+                 for n, v in tf_vars.items()]
+        saver = tf.compat.v1.train.Saver(tvars)
+        with tf.compat.v1.Session() as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            saver.save(sess, ckpt)
+
+    tf_params = convert_bert_tf(ckpt, 64, 2)
+
+    flat_t = jax.tree_util.tree_leaves_with_path(torch_params)
+    flat_f = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(tf_params)
+    )
+    assert len(flat_t) == len(flat_f)
+    for path, v in flat_t:
+        np.testing.assert_array_equal(v, flat_f[jax.tree_util.keystr(path)],
+                                      err_msg=jax.tree_util.keystr(path))
+
+    # dispatcher picks the TF path by the .index sibling
+    via_loader = load_bert_encoder(ckpt, 64, 2)
+    np.testing.assert_array_equal(
+        via_loader["pooler"]["kernel"], torch_params["pooler"]["kernel"]
+    )

@@ -264,3 +264,54 @@ def test_fastpitch_trains_and_infers():
     )
     assert mel.shape == (2, cfg.max_mel_len, 8)
     assert (np.asarray(mel_lens) >= 0).all()
+
+
+def test_text_normalization_numbers_and_unidecode():
+    """Reference numbers.py / unidecoder behaviors (golden cases)."""
+    from deeplearningexamples_tpu.models.tts.text import (
+        CMUDict, normalize_numbers, sequence_to_text, unidecode,
+    )
+
+    assert normalize_numbers("$17.50") == "seventeen dollars, fifty cents"
+    assert normalize_numbers("$1") == "one dollar"
+    assert normalize_numbers("£100") == "one hundred pounds"
+    # 1000 < n < 3000 uses the reference's year-style grouping even outside
+    # year contexts (numbers.py _expand_number)
+    assert normalize_numbers("1,234 things") == "twelve thirty-four things"
+    assert normalize_numbers("4,321 things") == \
+        "four thousand three hundred twenty-one things"
+    assert normalize_numbers("in 1905") == "in nineteen oh five"
+    assert normalize_numbers("in 1999") == "in nineteen ninety-nine"
+    assert normalize_numbers("year 2000") == "year two thousand"
+    assert normalize_numbers("year 2008") == "year two thousand eight"
+    assert normalize_numbers("1700 men") == "seventeen hundred men"
+    assert normalize_numbers("3rd place, 21st try") == "third place, twenty-first try"
+    assert normalize_numbers("1.5 km") == "one point five km"
+    assert normalize_numbers("42") == "forty-two"
+
+    assert unidecode("café naïve Łódź") == "cafe naive Lodz"
+    assert unidecode("“smart” — quotes…") == '"smart" - quotes...'
+
+    # end-to-end: cleaner path through text_to_sequence
+    s = sequence_to_text(text_to_sequence("Dr. Smith paid $17.50."))
+    assert s == "doctor smith paid seventeen dollars, fifty cents."
+
+
+def test_cmudict_lookup_in_sequence():
+    from deeplearningexamples_tpu.models.tts.text import CMUDict
+
+    lines = [
+        ";;; comment\n",
+        "HELLO  HH AH0 L OW1\n",
+        "HELLO(1)  HH EH0 L OW1\n",
+        "WORLD  W ER1 L D\n",
+    ]
+    d = CMUDict(lines)
+    assert len(d) == 2
+    assert d.lookup("hello") == ["HH AH0 L OW1", "HH EH0 L OW1"]
+
+    seq = text_to_sequence("hello world!", cmudict=d)
+    assert sequence_to_text(seq) == "{HH}{AH0}{L}{OW1} {W}{ER1}{L}{D}!"
+    # unknown words fall back to letters
+    seq2 = text_to_sequence("hello zzz", cmudict=d)
+    assert sequence_to_text(seq2).endswith(" zzz")
