@@ -40,7 +40,8 @@ def timeit(name, fn, *args, iters=ITERS, flops=None):
             s = tree_sum(fn(a0, *rest))
             # data dependency without changing the value: next iteration's
             # first arg depends on this iteration's output
-            a0 = a0 + (s * 0.0).astype(a0.dtype)
+            a0 = jax.tree_util.tree_map(
+                lambda x: x + (s * 0.0).astype(x.dtype), a0)
             return (a0, acc + s)
         _, acc = jax.lax.fori_loop(0, iters, body, (a0, jnp.float32(0.0)))
         return acc
