@@ -57,7 +57,11 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     remat: bool = False  # activation checkpointing over encoder layers
-    gelu_approximate: bool = False  # exact erf GELU matches reference/HF
+    # tanh-approximate GELU matches the reference (BERT/modeling.py:121-122,
+    # F.gelu(x, approximate=True)) and is ~18% faster per step on TPU at
+    # s512 (erf is VPU-transcendental-bound: 158 -> 130 ms fwd+bwd).
+    # HF transformers uses exact erf — the HF-parity test overrides this.
+    gelu_approximate: bool = True
     # remat_policy "full" recomputes everything; "dots" saves matmul outputs
     # and recomputes only elementwise ops (jax checkpoint_policies)
     remat_policy: str = "dots"

@@ -39,6 +39,7 @@ def test_bert_forward_matches_huggingface():
         vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
         intermediate_size=64, max_position_embeddings=64,
         hidden_dropout=0.0, attention_dropout=0.0,
+        gelu_approximate=False,  # HF uses exact erf GELU
     )
     model = BertModel(cfg, dtype=jnp.float32)
     params = convert_bert(
