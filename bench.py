@@ -28,6 +28,8 @@ BASELINES = {
     "resnet50_train_throughput": (2470.0, "img/s/chip"),  # rn50 README:598
     "ssd300_train_throughput": (662.91, "img/s/chip"),  # SSD/README.md:647
     "bert_large_pretrain_s128": (580.0, "seq/s/chip"),  # BERT/README.md:813
+    "bert_large_pretrain_s512": (210.0, "seq/s/chip"),  # BERT/README.md:815
+    "bert_squad_finetune": (110.5, "seq/s/chip"),  # BERT/README.md:841
     "dlrm_train_throughput": (4.02e6, "rec/s/chip"),  # DLRM/README.md:923
     "tacotron2_train_throughput": (26484.0, "frames/s/chip"),  # Taco2 README:694
     "waveglow_train_throughput": (149479.0, "samples/s/chip"),  # Taco2 README:702
@@ -119,6 +121,62 @@ def bench_bert():
     return bs / _time_steps(step, state, batch, iters=20)
 
 
+def bench_bert_s512():
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    from deeplearningexamples_tpu.models.bert import BERT_CONFIGS, BertPretrainTask
+    from deeplearningexamples_tpu.ops.lamb import lamb
+
+    # phase-2 shapes (reference run_pretraining.py: seq 512, 80 masked
+    # positions); bs16 is the measured single-chip sweet spot (bs32
+    # regresses on HBM pressure — NOTES.md)
+    bs, seq, max_pred = 16, 512, 80
+    bcfg = BERT_CONFIGS["large"]
+    task = BertPretrainTask(bcfg, jnp.bfloat16, max_predictions=max_pred)
+    params, mstate = task.init(jax.random.key(0), seq_len=seq)
+    tx = lamb(lambda c: 6e-3, weight_decay=0.01, moment_dtype=jnp.bfloat16)
+    state = create_train_state(params, tx, jax.random.key(1, impl="rbg"), mstate)
+    step = make_train_step(task.loss_fn, tx)
+    rng = np.random.default_rng(0)
+    labels = np.full((bs, seq), -1, np.int32)
+    for i in range(bs):
+        pos = rng.choice(seq, size=max_pred, replace=False)
+        labels[i, pos] = rng.integers(0, bcfg.vocab_size, size=max_pred)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, bcfg.vocab_size, (bs, seq)), jnp.int32),
+        "attention_mask": jnp.ones((bs, seq), jnp.int32),
+        "token_type_ids": jnp.zeros((bs, seq), jnp.int32),
+        "mlm_labels": jnp.asarray(labels),
+        "nsp_label": jnp.asarray(rng.integers(0, 2, (bs,)), jnp.int32),
+    }
+    return bs / _time_steps(step, state, batch, iters=15)
+
+
+def bench_bert_squad():
+    from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
+    import optax
+
+    from deeplearningexamples_tpu.models.bert import BERT_CONFIGS, BertSquadTask
+
+    # reference SQuAD recipe: bs32, seq 384, AdamW (run_squad.py; matches
+    # the bert-squad CLI runner's optimizer)
+    bs, seq = 32, 384
+    task = BertSquadTask(BERT_CONFIGS["large"], jnp.bfloat16)
+    params, mstate = task.init(jax.random.key(0), seq_len=seq)
+    tx = optax.adamw(3e-5, weight_decay=0.01)
+    state = create_train_state(params, tx, jax.random.key(1, impl="rbg"), mstate)
+    step = make_train_step(task.loss_fn, tx)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(
+            rng.integers(0, BERT_CONFIGS["large"].vocab_size, (bs, seq)), jnp.int32),
+        "attention_mask": jnp.ones((bs, seq), jnp.int32),
+        "token_type_ids": jnp.zeros((bs, seq), jnp.int32),
+        "start_positions": jnp.asarray(rng.integers(0, seq, (bs,)), jnp.int32),
+        "end_positions": jnp.asarray(rng.integers(0, seq, (bs,)), jnp.int32),
+    }
+    return bs / _time_steps(step, state, batch, iters=15)
+
+
 def bench_dlrm():
     from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
     from deeplearningexamples_tpu.data.synthetic import SyntheticDlrmLoader
@@ -192,6 +250,8 @@ def main():
         ("resnet50_train_throughput", bench_resnet50),
         ("ssd300_train_throughput", bench_ssd300),
         ("bert_large_pretrain_s128", bench_bert),
+        ("bert_large_pretrain_s512", bench_bert_s512),
+        ("bert_squad_finetune", bench_bert_squad),
         ("dlrm_train_throughput", bench_dlrm),
         ("tacotron2_train_throughput", bench_tacotron2),
         ("waveglow_train_throughput", bench_waveglow),

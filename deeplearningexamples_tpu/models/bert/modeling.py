@@ -21,6 +21,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Any
@@ -97,6 +98,58 @@ def _dense(features, cfg, name=None, dtype=jnp.float32):
     )
 
 
+# --- mask-regenerating dropout -------------------------------------------
+# flax's nn.Dropout leaves the keep mask as an autodiff residual: at
+# BERT-Large s512 bs16 that is 48 masks x 8.4M elements of HBM traffic per
+# step (~6 ms measured: encoder fwd+bwd 124.8 ms with dropout vs 116.2
+# deterministic, most of it residual I/O). XLA's RngBitGenerator is a pure
+# function of (key, shape), so the backward can redraw the identical bits
+# instead — the only residual is the key itself.
+
+
+def _keep_scale(key_data, shape, rate, impl):
+    key = jax.random.wrap_key_data(key_data, impl=impl)
+    bits = jax.random.bits(key, shape, jnp.uint32)
+    thr = np.uint32(min(rate * 4294967296.0, 4294967295.0))
+    return jnp.where(bits >= thr, np.float32(1.0 / (1.0 - rate)),
+                     np.float32(0.0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _regen_dropout(x, key_data, rate, impl):
+    return x * _keep_scale(key_data, x.shape, rate, impl).astype(x.dtype)
+
+
+def _regen_fwd(x, key_data, rate, impl):
+    return _regen_dropout(x, key_data, rate, impl), (key_data,)
+
+
+def _regen_bwd(rate, impl, res, g):
+    (key_data,) = res
+    dx = g * _keep_scale(key_data, g.shape, rate, impl).astype(g.dtype)
+    return dx, np.zeros(key_data.shape, dtype=jax.dtypes.float0)
+
+
+_regen_dropout.defvjp(_regen_fwd, _regen_bwd)
+
+
+class RegenDropout(nn.Module):
+    """Drop-in replacement for ``nn.Dropout`` whose backward regenerates
+    the keep mask from the PRNG key (residual-free). Stream differs from
+    flax's bernoulli draw — semantics (iid keep prob ``1-rate``, inverted
+    scaling) are identical."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        impl = str(jax.random.key_impl(key))
+        return _regen_dropout(x, jax.random.key_data(key), self.rate, impl)
+
+
 class BertEmbeddings(nn.Module):
     cfg: BertConfig
     dtype: Any = jnp.bfloat16
@@ -116,7 +169,7 @@ class BertEmbeddings(nn.Module):
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="LayerNorm")(x)
-        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+        x = RegenDropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         return x
 
 
@@ -157,7 +210,7 @@ class BertSelfAttention(nn.Module):
             )
         ctx = ctx.reshape(b, s, cfg.hidden_size)
         out = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="output")(ctx)
-        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
+        out = RegenDropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         return out
 
 
@@ -178,7 +231,7 @@ class BertLayer(nn.Module):
         y = _dense(cfg.intermediate_size, cfg, dtype=self.dtype, name="intermediate")(x)
         y = nn.gelu(y, approximate=cfg.gelu_approximate)
         y = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="ffn_output")(y)
-        y = nn.Dropout(cfg.hidden_dropout)(y, deterministic=deterministic)
+        y = RegenDropout(cfg.hidden_dropout)(y, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="output_ln")(x + y)
         return x

@@ -11,6 +11,21 @@ def randn(*shape):
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
+
+def _import_hf_bert():
+    """transformers 4.57 lazy-loads submodules; a transient failure (seen
+    once mid-suite on this 1-core host) leaves a poisoned partial module in
+    sys.modules that then fails every later import. Clear and retry once."""
+    import sys
+
+    try:
+        from transformers import BertConfig, BertModel
+    except ImportError:
+        for name in [m for m in sys.modules if m.startswith("transformers")]:
+            del sys.modules[name]
+        from transformers import BertConfig, BertModel
+    return BertConfig, BertModel
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -23,7 +38,7 @@ from deeplearningexamples_tpu.utils.torch_import import (  # noqa: E402
 
 def test_bert_forward_matches_huggingface():
     """Gold parity test: identical weights -> identical encoder outputs."""
-    from transformers import BertConfig as HFConfig, BertModel as HFBert
+    HFConfig, HFBert = _import_hf_bert()
 
     from deeplearningexamples_tpu.models.bert import BertConfig, BertModel
 
@@ -143,7 +158,7 @@ def test_bert_tf_checkpoint_import(tmp_path):
     modeling.py:61): write HF torch weights into a TF-named v1 bundle and
     assert the TF path reproduces the torch conversion exactly."""
     tf = pytest.importorskip("tensorflow")
-    from transformers import BertConfig as HFConfig, BertModel as HFBert
+    HFConfig, HFBert = _import_hf_bert()
 
     from deeplearningexamples_tpu.utils.torch_import import (
         convert_bert_tf, load_bert_encoder,
