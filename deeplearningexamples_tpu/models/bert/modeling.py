@@ -21,7 +21,6 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-import functools
 import math
 from dataclasses import dataclass
 from typing import Any
@@ -32,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import flash_attention
+from ...ops.dropout import RegenDropout
 
 __all__ = [
     "BertConfig",
@@ -98,58 +98,6 @@ def _dense(features, cfg, name=None, dtype=jnp.float32):
     )
 
 
-# --- mask-regenerating dropout -------------------------------------------
-# flax's nn.Dropout leaves the keep mask as an autodiff residual: at
-# BERT-Large s512 bs16 that is 48 masks x 8.4M elements of HBM traffic per
-# step (~6 ms measured: encoder fwd+bwd 124.8 ms with dropout vs 116.2
-# deterministic, most of it residual I/O). XLA's RngBitGenerator is a pure
-# function of (key, shape), so the backward can redraw the identical bits
-# instead — the only residual is the key itself.
-
-
-def _keep_scale(key_data, shape, rate, impl):
-    key = jax.random.wrap_key_data(key_data, impl=impl)
-    bits = jax.random.bits(key, shape, jnp.uint32)
-    thr = np.uint32(min(rate * 4294967296.0, 4294967295.0))
-    return jnp.where(bits >= thr, np.float32(1.0 / (1.0 - rate)),
-                     np.float32(0.0))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _regen_dropout(x, key_data, rate, impl):
-    return x * _keep_scale(key_data, x.shape, rate, impl).astype(x.dtype)
-
-
-def _regen_fwd(x, key_data, rate, impl):
-    return _regen_dropout(x, key_data, rate, impl), (key_data,)
-
-
-def _regen_bwd(rate, impl, res, g):
-    (key_data,) = res
-    dx = g * _keep_scale(key_data, g.shape, rate, impl).astype(g.dtype)
-    return dx, np.zeros(key_data.shape, dtype=jax.dtypes.float0)
-
-
-_regen_dropout.defvjp(_regen_fwd, _regen_bwd)
-
-
-class RegenDropout(nn.Module):
-    """Drop-in replacement for ``nn.Dropout`` whose backward regenerates
-    the keep mask from the PRNG key (residual-free). Stream differs from
-    flax's bernoulli draw — semantics (iid keep prob ``1-rate``, inverted
-    scaling) are identical."""
-
-    rate: float
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool):
-        if deterministic or self.rate == 0.0:
-            return x
-        key = self.make_rng("dropout")
-        impl = str(jax.random.key_impl(key))
-        return _regen_dropout(x, jax.random.key_data(key), self.rate, impl)
-
-
 class BertEmbeddings(nn.Module):
     cfg: BertConfig
     dtype: Any = jnp.bfloat16
@@ -186,27 +134,32 @@ class BertSelfAttention(nn.Module):
         b, s, _ = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
 
-        qkv = _dense(3 * cfg.hidden_size, cfg, dtype=self.dtype, name="qkv")(x)
-        # (B, S, 3, H, D) slices feed the kernel in bshd layout — no
-        # (B,H,S,D) transpose is ever materialized (~9 GB/step saved at bs64)
-        qkv = qkv.reshape(b, s, 3, h, hd)
+        # three projections (reference query/key/value naming) writing the
+        # kernel operands DIRECTLY: a fused 3*hidden Dense needs three
+        # strided slice copies fwd + a dqkv concat bwd, measured +0.2
+        # ms/layer at s512 (~5 ms/step over 24 layers, perf/qkv experiment);
+        # the bshd layout means no (B,H,S,D) transpose is ever materialized
+        q = _dense(cfg.hidden_size, cfg, dtype=self.dtype,
+                   name="query")(x).reshape(b, s, h, hd)
+        k = _dense(cfg.hidden_size, cfg, dtype=self.dtype,
+                   name="key")(x).reshape(b, s, h, hd)
+        v = _dense(cfg.hidden_size, cfg, dtype=self.dtype,
+                   name="value")(x).reshape(b, s, h, hd)
         if not deterministic and cfg.attention_dropout > 0.0:
             # reference drops attention PROBABILITIES (modeling.py:355);
-            # the kernel applies the mask in-VMEM via a stateless hash —
-            # a fresh int32 seed per step comes from the flax dropout rng
+            # the kernel applies the mask in-VMEM (hw PRNG / stateless
+            # hash) — a fresh int32 seed per step from the flax dropout rng
             seed = jax.random.randint(
                 self.make_rng("dropout"), (), -2**31, 2**31 - 1,
                 dtype=jnp.int32,
             )
             ctx = flash_attention(
-                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-                key_mask=attention_mask, layout="bshd",
+                q, k, v, key_mask=attention_mask, layout="bshd",
                 dropout_rate=cfg.attention_dropout, dropout_seed=seed,
             )
         else:
             ctx = flash_attention(
-                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
-                key_mask=attention_mask, layout="bshd",
+                q, k, v, key_mask=attention_mask, layout="bshd",
             )
         ctx = ctx.reshape(b, s, cfg.hidden_size)
         out = _dense(cfg.hidden_size, cfg, dtype=self.dtype, name="output")(ctx)

@@ -9,7 +9,7 @@ calls for (SURVEY.md §7.2 item 7).
 
 Converters:
 - ``convert_resnet50``: torchvision/NVIDIA ConvNets layout -> models/convnets
-- ``convert_bert``: HuggingFace/NVIDIA BERT layout -> models/bert (qkv fused,
+- ``convert_bert``: HuggingFace/NVIDIA BERT layout -> models/bert (separate q/k/v,
   vocab padded to the lane multiple)
 """
 
@@ -116,7 +116,7 @@ def convert_bert_tf(ckpt_path: str, padded_vocab: int, num_layers: int) -> dict:
     models/bert params. The role of the reference's
     ``load_tf_weights_in_bert`` (``LanguageModeling/BERT/modeling.py:61``),
     except TF kernels are already (in, out) — flax layout — so no transposes.
-    LayerNorm gamma/beta map to scale/bias; QKV are fused column-wise."""
+    LayerNorm gamma/beta map to scale/bias; q/k/v import as separate denses."""
     from tensorflow.python.training import py_checkpoint_reader
 
     reader = py_checkpoint_reader.NewCheckpointReader(ckpt_path)
@@ -150,16 +150,15 @@ def convert_bert_tf(ckpt_path: str, padded_vocab: int, num_layers: int) -> dict:
     }
     for i in range(num_layers):
         src = f"bert/encoder/layer_{i}"
-        qkv_w = np.concatenate(
-            [g(f"{src}/attention/self/{n}/kernel") for n in ("query", "key", "value")],
-            axis=1,
-        )
-        qkv_b = np.concatenate(
-            [g(f"{src}/attention/self/{n}/bias") for n in ("query", "key", "value")]
-        )
         params[f"layer_{i}"] = {
             "attention": {
-                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                **{
+                    n: {
+                        "kernel": g(f"{src}/attention/self/{n}/kernel"),
+                        "bias": g(f"{src}/attention/self/{n}/bias"),
+                    }
+                    for n in ("query", "key", "value")
+                },
                 "output": {
                     "kernel": g(f"{src}/attention/output/dense/kernel"),
                     "bias": g(f"{src}/attention/output/dense/bias"),
@@ -494,19 +493,15 @@ def convert_bert(
     }
     for i in range(num_layers):
         src = f"encoder.layer.{i}"
-        qkv_w = np.concatenate(
-            [
-                _dense(sd[f"{src}.attention.self.{n}.weight"])
-                for n in ("query", "key", "value")
-            ],
-            axis=1,
-        )
-        qkv_b = np.concatenate(
-            [sd[f"{src}.attention.self.{n}.bias"] for n in ("query", "key", "value")]
-        )
         params[f"layer_{i}"] = {
             "attention": {
-                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                **{
+                    n: {
+                        "kernel": _dense(sd[f"{src}.attention.self.{n}.weight"]),
+                        "bias": sd[f"{src}.attention.self.{n}.bias"],
+                    }
+                    for n in ("query", "key", "value")
+                },
                 "output": {
                     "kernel": _dense(sd[f"{src}.attention.output.dense.weight"]),
                     "bias": sd[f"{src}.attention.output.dense.bias"],
