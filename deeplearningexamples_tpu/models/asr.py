@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from ..ops.dropout import RegenDropout
 
 __all__ = ["JasperConfig", "Jasper", "JasperTask", "greedy_ctc_decode",
            "JasperBlock", "QUARTZNET_15x5"]
@@ -97,12 +98,12 @@ class Jasper(nn.Module):
                 last = r == blk.repeats - 1
                 if not (last and blk.residual):
                     x = nn.relu(x)
-                    x = nn.Dropout(blk.dropout)(x, deterministic=not train)
+                    x = RegenDropout(blk.dropout)(x, deterministic=not train)
             if blk.residual and residual.shape == x.shape:
                 res = ConvBnRelu(blk.channels, 1, 1, 1, False, self.dtype,
                                  name=f"b{bi}_res")(residual, train)
                 x = nn.relu(x + res)
-                x = nn.Dropout(blk.dropout)(x, deterministic=not train)
+                x = RegenDropout(blk.dropout)(x, deterministic=not train)
         logits = nn.Conv(self.cfg.vocab_size, (1,), dtype=jnp.float32,
                          name="head")(x.astype(jnp.float32))
         return jax.nn.log_softmax(logits, axis=-1)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from ..ops.dropout import RegenDropout
 
 __all__ = ["NcfConfig", "NeuMF", "NcfTask", "hit_rate_ndcg"]
 
@@ -57,7 +58,7 @@ class NeuMF(nn.Module):
                          name=f"mlp_{i}")(x)
             x = nn.relu(x)
         x = jnp.concatenate([gmf, x], axis=-1)
-        x = nn.Dropout(self.cfg.dropout)(x, deterministic=deterministic)
+        x = RegenDropout(self.cfg.dropout)(x, deterministic=deterministic)
         logit = nn.Dense(1, dtype=jnp.float32,
                          kernel_init=nn.initializers.lecun_normal(),
                          name="final")(x.astype(jnp.float32))

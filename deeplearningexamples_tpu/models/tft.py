@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..ops.dropout import RegenDropout
 
 __all__ = ["TFTConfig", "TFT", "TFTTask", "quantile_loss"]
 
@@ -49,7 +50,7 @@ class GRN(nn.Module):
         y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         y = nn.elu(y)
         y = nn.Dense(out, dtype=self.dtype, name="fc2")(y)
-        y = nn.Dropout(0.1)(y, deterministic=deterministic)
+        y = RegenDropout(0.1)(y, deterministic=deterministic)
         gate = nn.Dense(2 * out, dtype=self.dtype, name="gate")(y)
         a, b = jnp.split(gate, 2, axis=-1)
         y = a * jax.nn.sigmoid(b)

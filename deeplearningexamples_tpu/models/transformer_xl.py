@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from ..ops.dropout import RegenDropout
 
 __all__ = ["TransformerXLConfig", "TransformerXL", "TransformerXLTask"]
 
@@ -92,11 +93,11 @@ class RelAttention(nn.Module):
         kpos = jnp.arange(klen)[None, :]
         scores = jnp.where(qpos >= kpos, scores, -1e9)
         p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        p = nn.Dropout(cfg.dropout)(p, deterministic=deterministic)
+        p = RegenDropout(cfg.dropout)(p, deterministic=deterministic)
         out = jnp.einsum("bhtk,bkhd->bthd", p, vh).reshape(b, t, h * dh)
         out = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
                        name="o")(out)
-        return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        return RegenDropout(cfg.dropout)(out, deterministic=deterministic)
 
 
 class XLLayer(nn.Module):
@@ -112,7 +113,7 @@ class XLLayer(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + a)
         y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(x)
         y = nn.relu(y)
-        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        y = RegenDropout(cfg.dropout)(y, deterministic=deterministic)
         y = nn.Dense(cfg.d_model, dtype=self.dtype, name="ff2")(y)
         return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + y)
 
@@ -133,7 +134,7 @@ class TransformerXL(nn.Module):
         self.rel_pos_emb = jnp.asarray(pe)  # (max_klen, D) reversed distances
         self.layers = [XLLayer(cfg, self.dtype, name=f"layer_{i}")
                        for i in range(cfg.n_layers)]
-        self.drop = nn.Dropout(cfg.dropout)
+        self.drop = RegenDropout(cfg.dropout)
 
     def __call__(self, tokens, mems=None, deterministic: bool = True):
         """tokens (B, T). mems: list of per-layer (B, M, D) or None.

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops import flash_attention
+from ...ops.dropout import RegenDropout
 
 __all__ = ["FastPitchConfig", "FastPitch", "FastPitchTask", "length_regulate"]
 
@@ -74,14 +75,14 @@ class FFTBlock(nn.Module):
         ctx = flash_attention(heads(q), heads(k), heads(v), key_mask=mask)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
         ctx = nn.Dense(cfg.d_model, dtype=self.dtype, name="attn_out")(ctx)
-        ctx = nn.Dropout(cfg.dropout)(ctx, deterministic=deterministic)
+        ctx = RegenDropout(cfg.dropout)(ctx, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + ctx)
         y = nn.Conv(cfg.conv_filters, (cfg.conv_kernel,), dtype=self.dtype,
                     name="conv1")(x)
         y = nn.relu(y)
         y = nn.Conv(cfg.d_model, (cfg.conv_kernel,), dtype=self.dtype,
                     name="conv2")(y)
-        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        y = RegenDropout(cfg.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + y)
 
 
@@ -98,7 +99,7 @@ class Predictor(nn.Module):
             x = nn.Conv(256, (3,), dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.relu(x)
             x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
-            x = nn.Dropout(0.1)(x, deterministic=deterministic)
+            x = RegenDropout(0.1)(x, deterministic=deterministic)
         return nn.Dense(1, dtype=jnp.float32, name="proj")(
             x.astype(jnp.float32)
         )[..., 0]

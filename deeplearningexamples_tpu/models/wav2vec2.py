@@ -20,6 +20,7 @@ import numpy as np
 import optax
 
 from ..ops import flash_attention
+from ..ops.dropout import RegenDropout
 
 __all__ = ["Wav2Vec2Config", "Wav2Vec2", "Wav2Vec2Task",
            "Wav2Vec2ForCTC", "Wav2Vec2CtcTask"]
@@ -79,7 +80,7 @@ class ContextBlock(nn.Module):
         heads = lambda t: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
         ctx = flash_attention(heads(q), heads(k), heads(v))
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
-        x = x + nn.Dropout(cfg.dropout)(
+        x = x + RegenDropout(cfg.dropout)(
             nn.Dense(cfg.d_model, dtype=self.dtype, name="attn_out")(ctx),
             deterministic=deterministic,
         )
@@ -87,7 +88,7 @@ class ContextBlock(nn.Module):
         y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(y)
         y = nn.gelu(y)
         y = nn.Dense(cfg.d_model, dtype=self.dtype, name="ff2")(y)
-        return x + nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        return x + RegenDropout(cfg.dropout)(y, deterministic=deterministic)
 
 
 class GumbelQuantizer(nn.Module):
