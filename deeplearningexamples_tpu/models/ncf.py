@@ -57,8 +57,10 @@ class NeuMF(nn.Module):
                          kernel_init=nn.initializers.glorot_uniform(),
                          name=f"mlp_{i}")(x)
             x = nn.relu(x)
+            # reference drops after EVERY MLP relu (neumf.py:91-92), not on
+            # the fused concat
+            x = RegenDropout(cfg.dropout)(x, deterministic=deterministic)
         x = jnp.concatenate([gmf, x], axis=-1)
-        x = RegenDropout(self.cfg.dropout)(x, deterministic=deterministic)
         logit = nn.Dense(1, dtype=jnp.float32,
                          kernel_init=nn.initializers.lecun_normal(),
                          name="final")(x.astype(jnp.float32))

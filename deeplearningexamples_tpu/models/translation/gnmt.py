@@ -1,10 +1,26 @@
 """GNMT v2 — LSTM seq2seq with attention.
 
-Breadth recipe (reference ``PyTorch/Translation/GNMT/seq2seq/models/``):
-4-layer encoder (layer 1 bidirectional), 4-layer residual decoder with
-normalized-Bahdanau attention feeding every layer, label-smoothed CE 0.1,
-beam-search inference (shared ``beam_search``). LSTMs run as
-``flax.linen.RNN`` scans (XLA unrolls onto the VPU/MXU); hidden 1024.
+Breadth recipe matching the reference architecture exactly
+(``PyTorch/Translation/GNMT/seq2seq/models/``):
+
+- encoder (``encoder.py:30-120``): shared embedding, layer 0 bidirectional
+  LSTM (hidden H per direction -> 2H), layer 1 takes 2H -> H, residual
+  connections from the 3rd layer on, dropout on the INPUT of every LSTM
+  (residual taken pre-dropout);
+- decoder (``decoder.py:113-244``): NO input feeding — layer 0 LSTM runs
+  over the embedded target sequence, normalized Bahdanau attention
+  (``attention.py:30-140``) is computed from layer-0 outputs over all
+  timesteps AT ONCE, and every later layer consumes ``[x, attn]`` with
+  residuals from the 3rd layer; classifier on the last layer's output.
+
+The no-input-feeding structure is also the TPU-friendly one: each LSTM is
+one ``nn.RNN`` scan and the attention is a single batched einsum — nothing
+sequential crosses the attention, so the decoder is layer-parallel over
+time everywhere except inside the LSTM scans themselves.
+
+Numerics-parity with the reference torch modules is asserted by
+``tests/test_reference_parity.py::test_gnmt_forward_parity`` via
+``utils/torch_import.convert_gnmt``.
 """
 
 from __future__ import annotations
@@ -17,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+from ...ops.dropout import RegenDropout
 
 __all__ = ["GnmtConfig", "Gnmt", "GnmtTask"]
 
@@ -38,56 +56,36 @@ class GnmtConfig:
 
 
 class BahdanauAttention(nn.Module):
-    """Normalized Bahdanau score (reference ``seq2seq/models/attention.py``)."""
+    """Normalized Bahdanau score over all query timesteps at once
+    (reference ``attention.py:30-140``, ``normalize=True``)."""
 
     hidden: int
     dtype: Any
 
     @nn.compact
-    def __call__(self, query, keys, mask):
-        # query (B, H); keys (B, S, H); mask (B, S)
-        q = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype, name="q")(query)
-        k = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype, name="k")(keys)
+    def __call__(self, queries, keys, mask):
+        # queries (B, T, H); keys (B, S, H); mask (B, S)
+        q = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype,
+                     kernel_init=_u01, name="q")(queries)
+        k = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype,
+                     kernel_init=_u01, name="k")(keys)
         b = self.param("bias", nn.initializers.zeros, (self.hidden,))
-        v = self.param("v", nn.initializers.normal(1.0 / np.sqrt(self.hidden)),
-                       (self.hidden,))
-        g = self.param("g", nn.initializers.ones, ())
+        v = self.param("v", _u01, (self.hidden,))
+        g = self.param(
+            "g", lambda *_: jnp.float32(1.0 / np.sqrt(self.hidden)), ())
         v_norm = v / jnp.linalg.norm(v) * g
-        scores = jnp.einsum(
-            "bsh,h->bs",
-            jnp.tanh(q[:, None, :] + k + b.astype(self.dtype)),
-            v_norm.astype(self.dtype),
-        )
-        scores = jnp.where(mask > 0, scores, -1e9)
+        sum_qk = (q[:, :, None, :] + k[:, None, :, :]
+                  + b.astype(self.dtype))  # (B, T, S, H)
+        scores = jnp.einsum("btsh,h->bts", jnp.tanh(sum_qk),
+                            v_norm.astype(self.dtype))
+        scores = jnp.where(mask[:, None, :] > 0, scores, -1e9)
         w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        return jnp.einsum("bs,bsh->bh", w, keys), w
+        return jnp.einsum("bts,bsh->bth", w, keys), w
 
 
-class GnmtDecoderCell(nn.Module):
-    cfg: GnmtConfig
-    dtype: Any
-
-    @nn.compact
-    def __call__(self, carry, tok_emb, memory, mask):
-        cfg = self.cfg
-        states, context = carry
-        new_states = []
-        # layer 0: input = [emb, context]
-        x = jnp.concatenate([tok_emb, context], axis=-1)
-        cell0 = nn.OptimizedLSTMCell(cfg.hidden_size, dtype=self.dtype, name="l0")
-        (c0, h0), _ = cell0((states[0][0], states[0][1]), x)
-        new_states.append((c0, h0))
-        context, align = BahdanauAttention(cfg.hidden_size, self.dtype,
-                                           name="attn")(h0, memory, mask)
-        x = h0
-        for i in range(1, cfg.num_layers):
-            inp = jnp.concatenate([x, context], axis=-1)
-            cell = nn.OptimizedLSTMCell(cfg.hidden_size, dtype=self.dtype,
-                                        name=f"l{i}")
-            (ci, hi), _ = cell((states[i][0], states[i][1]), inp)
-            new_states.append((ci, hi))
-            x = hi + x if i > 1 else hi  # residual from layer 2 on
-        return (tuple(new_states), context), (x, align)
+def _u01(key, shape, dtype=jnp.float32):
+    """uniform(-0.1, 0.1) — the reference's ``init_weight`` initializer."""
+    return jax.random.uniform(key, shape, dtype, -0.1, 0.1)
 
 
 class Gnmt(nn.Module):
@@ -96,53 +94,62 @@ class Gnmt(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.embed = nn.Embed(cfg.padded_vocab, cfg.hidden_size,
-                              embedding_init=nn.initializers.uniform(0.1),
-                              dtype=self.dtype)
         h = cfg.hidden_size
-        self.enc_fwd = nn.RNN(nn.OptimizedLSTMCell(h // 2, dtype=self.dtype))
-        self.enc_bwd = nn.RNN(nn.OptimizedLSTMCell(h // 2, dtype=self.dtype),
-                              reverse=True, keep_order=True)
+        cell = lambda: nn.OptimizedLSTMCell(
+            h, dtype=self.dtype, kernel_init=_u01, recurrent_kernel_init=_u01,
+            bias_init=nn.initializers.zeros)
+        # shared source/target embedding (reference gnmt.py share_embedding)
+        self.embed = nn.Embed(cfg.padded_vocab, h, embedding_init=_u01,
+                              dtype=self.dtype)
+        # encoder: bidirectional layer 0 (H per direction -> 2H output)
+        self.enc_fwd = nn.RNN(cell())
+        self.enc_bwd = nn.RNN(cell(), reverse=True, keep_order=True)
         self.enc_layers = [
-            nn.RNN(nn.OptimizedLSTMCell(h, dtype=self.dtype), name=f"enc_{i}")
-            for i in range(1, cfg.num_layers)
+            nn.RNN(cell(), name=f"enc_{i}") for i in range(1, cfg.num_layers)
         ]
-        self.cell = GnmtDecoderCell(cfg, self.dtype)
-        self.classifier = nn.Dense(cfg.padded_vocab, dtype=jnp.float32)
-        self.drop = nn.Dropout(cfg.dropout)
+        # decoder: layer 0 + attention, then num_layers-1 [x, attn] layers
+        self.dec_l0 = nn.RNN(cell())
+        self.attn = BahdanauAttention(h, self.dtype)
+        self.dec_layers = [
+            nn.RNN(cell(), name=f"dec_{i}") for i in range(1, cfg.num_layers)
+        ]
+        self.classifier = nn.Dense(cfg.padded_vocab, dtype=jnp.float32,
+                                   kernel_init=_u01, bias_init=_u01)
+        self.drop = RegenDropout(cfg.dropout)
 
     def encode(self, src_ids, deterministic: bool = True):
         cfg = self.cfg
         lengths = jnp.sum(src_ids != cfg.pad_id, axis=1)
         mask = (src_ids != cfg.pad_id).astype(jnp.int32)
         x = self.embed(src_ids)
+        # dropout on LSTM INPUTS; residual from the 3rd layer, taken
+        # PRE-dropout (encoder.py:109-117)
         x = self.drop(x, deterministic=deterministic)
         x = jnp.concatenate(
             [self.enc_fwd(x, seq_lengths=lengths),
              self.enc_bwd(x, seq_lengths=lengths)], axis=-1,
         )
-        for i, rnn in enumerate(self.enc_layers):
-            y = self.drop(rnn(x, seq_lengths=lengths), deterministic=deterministic)
-            x = x + y if i > 0 else y  # residual from 3rd layer on
+        x = self.enc_layers[0](self.drop(x, deterministic=deterministic),
+                               seq_lengths=lengths)
+        for rnn in self.enc_layers[1:]:
+            residual = x
+            x = rnn(self.drop(x, deterministic=deterministic),
+                    seq_lengths=lengths)
+            x = x + residual
         return x * mask[:, :, None], mask
 
-    def _init_carry(self, batch):
-        cfg = self.cfg
-        z = lambda: jnp.zeros((batch, cfg.hidden_size), self.dtype)
-        return (tuple((z(), z()) for _ in range(cfg.num_layers)), z())
-
     def decode(self, tgt_in, memory, mask, deterministic: bool = True):
-        emb = self.drop(self.embed(tgt_in), deterministic=deterministic)
-
-        def body(mdl, carry, x):
-            return mdl.cell(carry, x, memory, mask)
-
-        scan = nn.scan(body, variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True},
-                       in_axes=1, out_axes=1)
-        carry = self._init_carry(tgt_in.shape[0])
-        _, (hidden, _aligns) = scan(self, carry, emb)
-        return self.classifier(hidden.astype(jnp.float32))
+        x = self.drop(self.embed(tgt_in), deterministic=deterministic)
+        x = self.dec_l0(x)
+        attn, _scores = self.attn(x, memory, mask)
+        x = self.dec_layers[0](self.drop(
+            jnp.concatenate([x, attn], axis=-1), deterministic=deterministic))
+        for rnn in self.dec_layers[1:]:
+            residual = x
+            x = rnn(self.drop(jnp.concatenate([x, attn], axis=-1),
+                              deterministic=deterministic))
+            x = x + residual
+        return self.classifier(x.astype(jnp.float32))
 
     def __call__(self, src_ids, tgt_in, deterministic: bool = True):
         memory, mask = self.encode(src_ids, deterministic)

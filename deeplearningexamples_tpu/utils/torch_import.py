@@ -29,6 +29,8 @@ __all__ = [
     "convert_tacotron2",
     "convert_waveglow",
     "convert_dlrm",
+    "convert_ncf",
+    "convert_gnmt",
 ]
 
 
@@ -524,4 +526,66 @@ def convert_bert(
                 "bias": sd[f"{src}.output.LayerNorm.bias"],
             },
         }
+    return params
+
+
+def convert_ncf(sd: Mapping[str, np.ndarray], n_mlp_layers: int) -> dict:
+    """Reference NeuMF state_dict (``Recommendation/NCF/neumf.py:39-98``) ->
+    ``models/ncf.NeuMF`` params: four embedding tables, the MLP pyramid
+    (torch (out,in) -> flax (in,out)), and the fused final Linear."""
+    params: dict = {
+        "mf_user": {"embedding": sd["mf_user_embed.weight"]},
+        "mf_item": {"embedding": sd["mf_item_embed.weight"]},
+        "mlp_user": {"embedding": sd["mlp_user_embed.weight"]},
+        "mlp_item": {"embedding": sd["mlp_item_embed.weight"]},
+        "final": {"kernel": _dense(sd["final.weight"]),
+                  "bias": sd["final.bias"]},
+    }
+    for i in range(n_mlp_layers):
+        params[f"mlp_{i}"] = {
+            "kernel": _dense(sd[f"mlp.{i}.weight"]),
+            "bias": sd[f"mlp.{i}.bias"],
+        }
+    return params
+
+
+def convert_gnmt(sd: Mapping[str, np.ndarray], padded_vocab: int,
+                 num_layers: int) -> dict:
+    """Reference GNMT state_dict (``Translation/GNMT/seq2seq/models/``:
+    ``gnmt.py`` + ``encoder.py:30-120`` + ``decoder.py:113-244`` +
+    ``attention.py:30-140``) -> ``models/translation/Gnmt`` params.
+
+    Shared embedding pads to the lane multiple; the classifier's padded
+    vocab columns get -1e9 bias so they never win a softmax."""
+
+    def pad_vocab(w):
+        out = np.zeros((padded_vocab, w.shape[1]), w.dtype)
+        out[: w.shape[0]] = w
+        return out
+
+    params: dict = {
+        "embed": {"embedding": pad_vocab(sd["encoder.embedder.weight"])},
+        "enc_fwd": {"cell": _lstm(sd, "encoder.rnn_layers.0", "_l0")},
+        "enc_bwd": {"cell": _lstm(sd, "encoder.rnn_layers.0", "_l0_reverse")},
+        "dec_l0": {"cell": _lstm(sd, "decoder.att_rnn.rnn", "_l0")},
+        "attn": {
+            "q": {"kernel": _dense(sd["decoder.att_rnn.attn.linear_q.weight"])},
+            "k": {"kernel": _dense(sd["decoder.att_rnn.attn.linear_k.weight"])},
+            "v": sd["decoder.att_rnn.attn.linear_att"],
+            "g": sd["decoder.att_rnn.attn.normalize_scalar"].reshape(()),
+            "bias": sd["decoder.att_rnn.attn.normalize_bias"],
+        },
+    }
+    for i in range(1, num_layers):
+        params[f"enc_{i}"] = {"cell": _lstm(sd, f"encoder.rnn_layers.{i}", "_l0")}
+        params[f"dec_{i}"] = {
+            "cell": _lstm(sd, f"decoder.rnn_layers.{i - 1}", "_l0")
+        }
+    cw = _dense(sd["decoder.classifier.classifier.weight"])  # (H, V)
+    cb = sd["decoder.classifier.classifier.bias"]
+    kernel = np.zeros((cw.shape[0], padded_vocab), cw.dtype)
+    kernel[:, : cw.shape[1]] = cw
+    bias = np.full((padded_vocab,), -1e9, cb.dtype)
+    bias[: cb.shape[0]] = cb
+    params["classifier"] = {"kernel": kernel, "bias": bias}
     return params

@@ -528,3 +528,105 @@ def test_dlrm_forward_and_loss_parity(dlrm_ref):
         jnp.mean(optax.sigmoid_binary_cross_entropy(logit, jnp.asarray(label)))
     )
     np.testing.assert_allclose(ours_loss, ref_loss, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# NCF (NeuMF) — Recommendation/NCF/neumf.py:39-98
+# ---------------------------------------------------------------------------
+
+
+def test_ncf_forward_parity():
+    """Reference NeuMF on CPU with seeded weights -> convert_ncf -> our
+    NeuMF must reproduce logits and sigmoid scores."""
+    root = REF + "/Recommendation/NCF"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from neumf import NeuMF as RefNeuMF
+
+    from deeplearningexamples_tpu.models.ncf import NcfConfig, NeuMF
+    from deeplearningexamples_tpu.utils.torch_import import convert_ncf
+
+    seed_all(0)
+    nb_users, nb_items = 100, 50
+    layers = (64, 32, 16, 8)
+    ref = RefNeuMF(nb_users, nb_items, mf_dim=8,
+                   mlp_layer_sizes=list(layers), dropout=0.0).eval()
+
+    cfg = NcfConfig(nb_users=nb_users, nb_items=nb_items, mf_dim=8,
+                    mlp_layer_sizes=layers, dropout=0.0)
+    model = NeuMF(cfg, dtype=jnp.float32)
+    params = convert_ncf(sd_numpy(ref), n_mlp_layers=len(layers) - 1)
+
+    rng = np.random.default_rng(3)
+    users = rng.integers(0, nb_users, 64)
+    items = rng.integers(0, nb_items, 64)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(users), torch.tensor(items),
+                         sigmoid=False).numpy()[:, 0]
+    ours = model.apply({"params": params}, jnp.asarray(users),
+                       jnp.asarray(items), deterministic=True)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=1e-5, rtol=1e-5)
+    # sigmoid path (the scoring mode val_epoch uses)
+    with torch.no_grad():
+        ref_scores = ref(torch.tensor(users), torch.tensor(items),
+                         sigmoid=True).numpy()[:, 0]
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(ours)), ref_scores, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# GNMT v2 — Translation/GNMT/seq2seq/models/{gnmt,encoder,decoder,attention}.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gnmt_ref():
+    root = REF + "/Translation/GNMT"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    # seq2seq.utils imports dllogger (not installed) — stub it; only
+    # init_lstm_ and constants are exercised, no logging happens
+    if "dllogger" not in sys.modules:
+        stub = types.ModuleType("dllogger")
+        stub.log = lambda *a, **k: None
+        sys.modules["dllogger"] = stub
+    from seq2seq.models.gnmt import GNMT as RefGNMT
+
+    return RefGNMT
+
+
+def test_gnmt_forward_parity(gnmt_ref):
+    """Reference GNMT (seeded, eval) -> convert_gnmt -> our Gnmt must
+    reproduce teacher-forced logits on equal-length batches (the reference
+    zeroes padded encoder positions via pack_padded_sequence; full-length
+    inputs sidestep that representation difference)."""
+    from deeplearningexamples_tpu.models.translation import Gnmt, GnmtConfig
+    from deeplearningexamples_tpu.utils.torch_import import convert_gnmt
+
+    seed_all(0)
+    vocab, hidden, layers = 128, 32, 4  # vocab % 128 == 0: no padding
+    ref = gnmt_ref(vocab_size=vocab, hidden_size=hidden, num_layers=layers,
+                   dropout=0.0, batch_first=True, share_embedding=True).eval()
+
+    cfg = GnmtConfig(vocab_size=vocab, hidden_size=hidden, num_layers=layers,
+                     dropout=0.0)
+    model = Gnmt(cfg, dtype=jnp.float32)
+    params = convert_gnmt(sd_numpy(ref), cfg.padded_vocab, layers)
+
+    rng = np.random.default_rng(5)
+    b, s_src, s_tgt = 3, 7, 6
+    src = rng.integers(4, vocab, (b, s_src)).astype(np.int64)
+    tgt = rng.integers(4, vocab, (b, s_tgt)).astype(np.int64)
+    lengths = torch.full((b,), s_src, dtype=torch.int64)
+
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(src), lengths,
+                         torch.tensor(tgt)).numpy()
+
+    ours = model.apply(
+        {"params": params}, jnp.asarray(src, jnp.int32),
+        jnp.asarray(tgt, jnp.int32), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(ours)[..., :vocab], ref_logits,
+                               atol=2e-4, rtol=2e-4)

@@ -98,7 +98,9 @@ def test_gnmt_trains_copy_task():
     cfg = GnmtConfig(vocab_size=40, hidden_size=32, num_layers=4)
     task = GnmtTask(cfg, dtype=jnp.float32)
     params, _ = task.init(jax.random.key(0))
-    tx = optax.adam(3e-3)
+    # the reference's uniform(-0.1, 0.1) LSTM init (now matched exactly —
+    # parity-tested) converges slower on toy tasks than flax defaults did
+    tx = optax.adam(5e-3)
     state = create_train_state(params, tx, jax.random.key(1))
     step = make_train_step(task.loss_fn, tx, donate=False)
     rng = np.random.default_rng(0)
@@ -108,7 +110,7 @@ def test_gnmt_trains_copy_task():
     ).astype(np.int32)
     batch = {"src": jnp.asarray(src), "tgt": jnp.asarray(tgt)}
     losses = []
-    for _ in range(40):
+    for _ in range(60):
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.6
