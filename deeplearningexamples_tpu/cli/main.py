@@ -1110,8 +1110,7 @@ def run_tft(cfg: CommonConfig) -> None:
     # test-split evaluation with the TSPP metric suite
     test = WindowedTimeSeriesDataset(panel, spec, cfg.batch_size, split="test",
                                      seed=cfg.seed)
-    infer = jax.jit(lambda p, o, k: task.model.apply(
-        {"params": p}, o, k, deterministic=True))
+    infer = jax.jit(lambda p, o, k: task.predict_fn(p, o, k))
     preds, targets = [], []
     for batch in test:
         preds.append(np.asarray(infer(state.params, batch["observed"],

@@ -31,6 +31,7 @@ __all__ = [
     "convert_dlrm",
     "convert_ncf",
     "convert_gnmt",
+    "convert_tft",
 ]
 
 
@@ -588,4 +589,88 @@ def convert_gnmt(sd: Mapping[str, np.ndarray], padded_vocab: int,
     bias = np.full((padded_vocab,), -1e9, cb.dtype)
     bias[: cb.shape[0]] = cb
     params["classifier"] = {"kernel": kernel, "bias": bias}
+    return params
+
+
+def _tft_grn(sd: Mapping[str, np.ndarray], p: str) -> dict:
+    """Reference TFT GRN (``Forecasting/TFT/modeling.py:48-77``) ->
+    models/tft.GRN params. Optional pieces (context dense, out_proj,
+    MaybeLayerNorm) map only when present in the state_dict."""
+    out = {
+        "lin_a": {"kernel": _dense(sd[f"{p}.lin_a.weight"]),
+                  "bias": sd[f"{p}.lin_a.bias"]},
+        "lin_i": {"kernel": _dense(sd[f"{p}.lin_i.weight"]),
+                  "bias": sd[f"{p}.lin_i.bias"]},
+        "glu": {"lin": {"kernel": _dense(sd[f"{p}.glu.lin.weight"]),
+                        "bias": sd[f"{p}.glu.lin.bias"]}},
+    }
+    if f"{p}.lin_c.weight" in sd:
+        out["lin_c"] = {"kernel": _dense(sd[f"{p}.lin_c.weight"])}
+    if f"{p}.out_proj.weight" in sd:
+        out["out_proj"] = {"kernel": _dense(sd[f"{p}.out_proj.weight"]),
+                           "bias": sd[f"{p}.out_proj.bias"]}
+    if f"{p}.layer_norm.ln.weight" in sd:
+        out["ln"] = {"scale": sd[f"{p}.layer_norm.ln.weight"],
+                     "bias": sd[f"{p}.layer_norm.ln.bias"]}
+    return out
+
+
+def _tft_vsn(sd: Mapping[str, np.ndarray], p: str, num_inputs: int) -> dict:
+    out = {"joint_grn": _tft_grn(sd, f"{p}.joint_grn")}
+    for i in range(num_inputs):
+        out[f"var_grn_{i}"] = _tft_grn(sd, f"{p}.var_grns.{i}")
+    return out
+
+
+def _tft_glu(sd: Mapping[str, np.ndarray], p: str) -> dict:
+    return {"lin": {"kernel": _dense(sd[f"{p}.lin.weight"]),
+                    "bias": sd[f"{p}.lin.bias"]}}
+
+
+def _tft_ln(sd: Mapping[str, np.ndarray], p: str) -> dict:
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+def convert_tft(sd: Mapping[str, np.ndarray], n_static: int,
+                num_historic_vars: int, num_future_vars: int) -> dict:
+    """Reference TemporalFusionTransformer state_dict
+    (``Forecasting/TFT/modeling.py:435-468``) -> ``models/tft.TFT`` params."""
+    emb: dict = {
+        "k_cont_vectors": sd["embedding.t_cont_k_embedding_vectors"],
+        "k_cont_bias": sd["embedding.t_cont_k_embedding_bias"],
+        "target_vectors": sd["embedding.t_tgt_embedding_vectors"],
+        "target_bias": sd["embedding.t_tgt_embedding_bias"],
+    }
+    if "embedding.t_cont_o_embedding_vectors" in sd:
+        emb["o_cont_vectors"] = sd["embedding.t_cont_o_embedding_vectors"]
+        emb["o_cont_bias"] = sd["embedding.t_cont_o_embedding_bias"]
+    for i in range(n_static):
+        emb[f"s_cat_{i}"] = {"embedding": sd[f"embedding.s_cat_embed.{i}.weight"]}
+
+    params: dict = {
+        "embedding": emb,
+        "static_encoder": {
+            "vsn": _tft_vsn(sd, "static_encoder.vsn", n_static),
+            **{f"context_grn_{i}": _tft_grn(sd, f"static_encoder.context_grns.{i}")
+               for i in range(4)},
+        },
+        "history_vsn": _tft_vsn(sd, "TFTpart2.history_vsn", num_historic_vars),
+        "future_vsn": _tft_vsn(sd, "TFTpart2.future_vsn", num_future_vars),
+        "history_encoder": _lstm(sd, "TFTpart2.history_encoder", "_l0"),
+        "future_encoder": _lstm(sd, "TFTpart2.future_encoder", "_l0"),
+        "input_gate": _tft_glu(sd, "TFTpart2.input_gate"),
+        "input_gate_ln": _tft_ln(sd, "TFTpart2.input_gate_ln"),
+        "enrichment_grn": _tft_grn(sd, "TFTpart2.enrichment_grn"),
+        "attention": {
+            "qkv": {"kernel": _dense(sd["TFTpart2.attention.qkv_linears.weight"])},
+            "out_proj": {"kernel": _dense(sd["TFTpart2.attention.out_proj.weight"])},
+        },
+        "attention_gate": _tft_glu(sd, "TFTpart2.attention_gate"),
+        "attention_ln": _tft_ln(sd, "TFTpart2.attention_ln"),
+        "positionwise_grn": _tft_grn(sd, "TFTpart2.positionwise_grn"),
+        "decoder_gate": _tft_glu(sd, "TFTpart2.decoder_gate"),
+        "decoder_ln": _tft_ln(sd, "TFTpart2.decoder_ln"),
+        "quantile_proj": {"kernel": _dense(sd["TFTpart2.quantile_proj.weight"]),
+                          "bias": sd["TFTpart2.quantile_proj.bias"]},
+    }
     return params

@@ -630,3 +630,83 @@ def test_gnmt_forward_parity(gnmt_ref):
     )
     np.testing.assert_allclose(np.asarray(ours)[..., :vocab], ref_logits,
                                atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# TFT — Forecasting/TFT/modeling.py (full architecture)
+# ---------------------------------------------------------------------------
+
+
+def test_tft_forward_parity(monkeypatch):
+    """Reference TemporalFusionTransformer (seeded, eval) -> convert_tft ->
+    our TFT must reproduce quantile forecasts."""
+    import os
+
+    os.environ["TFT_SCRIPTING"] = "1"  # skip torch.jit.script of TFTBack
+    root = REF + "/Forecasting/TFT"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import importlib
+
+    import modeling as ref_modeling  # the reference's flat module name
+
+    ref_modeling = importlib.reload(ref_modeling)  # honor TFT_SCRIPTING
+    # TFTBack.forward calls torch.cuda.synchronize() unconditionally
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
+
+    from deeplearningexamples_tpu.models.tft import TFT, TFTConfig, TFTTask
+    from deeplearningexamples_tpu.utils.torch_import import convert_tft
+
+    class RefCfg:
+        static_categorical_inp_lens = [5]
+        temporal_known_categorical_inp_lens = []
+        temporal_observed_categorical_inp_lens = []
+        static_continuous_inp_size = 0
+        temporal_known_continuous_inp_size = 2
+        temporal_observed_continuous_inp_size = 3
+        temporal_target_size = 1
+        hidden_size = 16
+        n_head = 4
+        dropout = 0.0
+        attn_dropout = 0.0
+        encoder_length = 12
+        example_length = 16
+        quantiles = [0.1, 0.5, 0.9]
+        num_static_vars = 1
+        num_future_vars = 2
+        num_historic_vars = 6  # future + observed + target
+
+    seed_all(0)
+    ref = ref_modeling.TemporalFusionTransformer(RefCfg()).eval()
+
+    rng = np.random.default_rng(4)
+    b, enc, hor = 3, 12, 4
+    x_ref = {
+        "s_cat": torch.tensor(rng.integers(0, 5, (b, enc + hor, 1))),
+        "k_cont": torch.tensor(rng.standard_normal((b, enc + hor, 2)),
+                               dtype=torch.float32),
+        "o_cont": torch.tensor(rng.standard_normal((b, enc, 3)),
+                               dtype=torch.float32),
+        "target": torch.tensor(rng.standard_normal((b, enc, 1)),
+                               dtype=torch.float32),
+    }
+    with torch.no_grad():
+        ref_out = ref(x_ref).numpy()  # materializes lazy params too
+
+    cfg = TFTConfig(n_observed=4, n_known=2, static_categorical_sizes=(5,),
+                    hidden=16, n_heads=4, encoder_len=enc, horizon=hor,
+                    dropout=0.0, attn_dropout=0.0)
+    model = TFT(cfg, dtype=jnp.float32)
+    params = convert_tft(sd_numpy(ref), n_static=1, num_historic_vars=6,
+                         num_future_vars=2)
+    ours = model.apply(
+        {"params": params},
+        {
+            "s_cat": jnp.asarray(x_ref["s_cat"].numpy()[:, 0, :], jnp.int32),
+            "k_cont": jnp.asarray(x_ref["k_cont"].numpy()),
+            "o_cont": jnp.asarray(x_ref["o_cont"].numpy()),
+            "target": jnp.asarray(x_ref["target"].numpy()),
+        },
+        deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-5, rtol=2e-5)
