@@ -21,7 +21,7 @@ import optax
 from ..ops.dropout import RegenDropout
 
 __all__ = ["JasperConfig", "Jasper", "JasperTask", "greedy_ctc_decode",
-           "JasperBlock", "QUARTZNET_15x5"]
+           "JasperBlock", "QUARTZNET_15x5", "JASPER_10x5DR"]
 
 
 @dataclass(frozen=True)
@@ -34,6 +34,9 @@ class JasperBlock:
     separable: bool = False
     stride: int = 1
     dilation: int = 1
+    # reference residual_dense (jasper10x5dr yaml): residual convs from the
+    # outputs of ALL previous dense blocks plus the stem input
+    dense: bool = False
 
 
 @dataclass(frozen=True)
@@ -64,17 +67,21 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train):
+        # explicit symmetric padding = (k//2)*dilation, the reference's
+        # get_same_padding (model.py:52-55) — flax "SAME" pads asymmetric
+        # under stride 2, which would shift outputs by one sample
+        pad = (self.kernel // 2) * self.dilation
         if self.separable:
             x = nn.Conv(x.shape[-1], (self.kernel,), strides=(self.stride,),
-                        kernel_dilation=(self.dilation,),
+                        kernel_dilation=(self.dilation,), padding=((pad, pad),),
                         feature_group_count=x.shape[-1], use_bias=False,
                         dtype=self.dtype, name="dw")(x)
             x = nn.Conv(self.ch, (1,), use_bias=False, dtype=self.dtype,
                         name="pw")(x)
         else:
             x = nn.Conv(self.ch, (self.kernel,), strides=(self.stride,),
-                        kernel_dilation=(self.dilation,), use_bias=False,
-                        dtype=self.dtype, name="conv")(x)
+                        kernel_dilation=(self.dilation,), padding=((pad, pad),),
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         return x
@@ -86,26 +93,37 @@ class Jasper(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        """feats (B, T, n_mels) -> log-probs (B, T', vocab)."""
-        x = feats.astype(self.dtype)
+        """feats (B, T, n_mels) -> log-probs (B, T', vocab).
+
+        Mirrors the reference JasperBlock/JasperEncoder flow
+        (``jasper/model.py:88-210``): repeat x conv+BN with act+dropout
+        BETWEEN repeats (none after the last conv), 1x1 conv+BN residual
+        adapters — one per dense pane — summed into the block output, then
+        the block's act+dropout. ``dense`` blocks append their output to
+        the pane list the way ``residual_dense`` accumulates ``xs``."""
+        xs = [feats.astype(self.dtype)]  # pane list (reference ``out = [x]``)
         for bi, blk in enumerate(self.cfg.blocks):
-            residual = x
+            out = xs[-1]
             for r in range(blk.repeats):
-                x = ConvBnRelu(blk.channels, blk.kernel,
-                               blk.stride if r == 0 else 1, blk.dilation,
-                               blk.separable, self.dtype,
-                               name=f"b{bi}_{r}")(x, train)
-                last = r == blk.repeats - 1
-                if not (last and blk.residual):
-                    x = nn.relu(x)
-                    x = RegenDropout(blk.dropout)(x, deterministic=not train)
-            if blk.residual and residual.shape == x.shape:
-                res = ConvBnRelu(blk.channels, 1, 1, 1, False, self.dtype,
-                                 name=f"b{bi}_res")(residual, train)
-                x = nn.relu(x + res)
-                x = RegenDropout(blk.dropout)(x, deterministic=not train)
+                out = ConvBnRelu(blk.channels, blk.kernel, blk.stride,
+                                 blk.dilation, blk.separable, self.dtype,
+                                 name=f"b{bi}_{r}")(out, train)
+                if r < blk.repeats - 1:
+                    out = nn.relu(out)
+                    out = RegenDropout(blk.dropout)(out, deterministic=not train)
+            if blk.residual:
+                # non-dense: reference indexes xs[0] (model.py:153-158);
+                # xs is a singleton there so xs[0] == the conv input
+                panes = xs if blk.dense else [xs[0]]
+                for pi, pane in enumerate(panes):
+                    res = ConvBnRelu(blk.channels, 1, 1, 1, False, self.dtype,
+                                     name=f"b{bi}_res{pi}")(pane, train)
+                    out = out + res
+            out = nn.relu(out)
+            out = RegenDropout(blk.dropout)(out, deterministic=not train)
+            xs = xs + [out] if (blk.residual and blk.dense) else [out]
         logits = nn.Conv(self.cfg.vocab_size, (1,), dtype=jnp.float32,
-                         name="head")(x.astype(jnp.float32))
+                         name="head")(xs[-1].astype(jnp.float32))
         return jax.nn.log_softmax(logits, axis=-1)
 
 
@@ -154,6 +172,24 @@ class JasperTask:
                            batch["labels"], batch["label_paddings"].astype(jnp.float32))
         )
         return loss, (dict(mutated), {})
+
+
+# Jasper 10x5 dense-residual (reference
+# ``Jasper/configs/jasper10x5dr_speedp-online_speca.yaml``): prologue k11
+# stride 2, five filter tiers x2 blocks of 5 repeats with residual_dense,
+# dilated epilogue.
+JASPER_10x5DR = JasperConfig(
+    blocks=(
+        JasperBlock(1, 256, 11, 0.2, residual=False, stride=2),
+        *[JasperBlock(5, 256, 11, 0.2, dense=True) for _ in range(2)],
+        *[JasperBlock(5, 384, 13, 0.2, dense=True) for _ in range(2)],
+        *[JasperBlock(5, 512, 17, 0.2, dense=True) for _ in range(2)],
+        *[JasperBlock(5, 640, 21, 0.3, dense=True) for _ in range(2)],
+        *[JasperBlock(5, 768, 25, 0.3, dense=True) for _ in range(2)],
+        JasperBlock(1, 896, 29, 0.4, residual=False, dilation=2),
+        JasperBlock(1, 1024, 1, 0.4, residual=False),
+    ),
+)
 
 
 # QuartzNet-15x5 (reference ``QuartzNet/configs/quartznet15x5_speedp...``):

@@ -15,7 +15,7 @@ Converters:
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 import numpy as np
 
@@ -32,6 +32,7 @@ __all__ = [
     "convert_ncf",
     "convert_gnmt",
     "convert_tft",
+    "convert_jasper",
 ]
 
 
@@ -674,3 +675,52 @@ def convert_tft(sd: Mapping[str, np.ndarray], n_static: int,
                           "bias": sd["TFTpart2.quantile_proj.bias"]},
     }
     return params
+
+
+def convert_jasper(sd: Mapping[str, np.ndarray],
+                   blocks: "Sequence") -> tuple[dict, dict]:
+    """Reference Jasper state_dict (``SpeechRecognition/Jasper/jasper/
+    model.py:88-223``) -> (params, batch_stats) for ``models/asr.Jasper``.
+
+    Each block's ModuleList interleaves [conv, bn, act, dropout] per repeat
+    (act/dropout hold no params), so repeat r's conv sits at index 4r;
+    residual adapters are ``res.{p}.{0=conv,1=bn}``; blocks arrive as our
+    ``JasperBlock`` dataclasses to recover the repeat/residual structure."""
+
+    def conv1d(w):
+        return np.transpose(w, (2, 1, 0))  # (out, in, k) -> (k, in, out)
+
+    def bn(prefix):
+        p = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+        s = {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]}
+        return p, s
+
+    params: dict = {}
+    stats: dict = {}
+    n_dense = 0
+    for bi, blk in enumerate(blocks):
+        src = f"encoder.layers.{bi}"
+        for r in range(blk.repeats):
+            name = f"b{bi}_{r}"
+            bp, bs = bn(f"{src}.conv.{4 * r + 1}")
+            params[name] = {
+                "conv": {"kernel": conv1d(sd[f"{src}.conv.{4 * r}.weight"])},
+                "bn": bp,
+            }
+            stats[name] = {"bn": bs}
+        if blk.residual:
+            n_panes = (n_dense + 1) if blk.dense else 1
+            for p in range(n_panes):
+                name = f"b{bi}_res{p}"
+                bp, bs = bn(f"{src}.res.{p}.1")
+                params[name] = {
+                    "conv": {"kernel": conv1d(sd[f"{src}.res.{p}.0.weight"])},
+                    "bn": bp,
+                }
+                stats[name] = {"bn": bs}
+            if blk.dense:
+                n_dense += 1
+    params["head"] = {"kernel": conv1d(sd["decoder.layers.0.weight"]),
+                      "bias": sd["decoder.layers.0.bias"]}
+    return params, stats

@@ -214,9 +214,8 @@ def test_tft_forecast_learns_pattern():
         state, m = step(state, jax.tree.map(jnp.asarray, batch))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.5
-    pred = task.model.apply({"params": state.params},
-                            jnp.asarray(batch["observed"]),
-                            jnp.asarray(batch["known"]))
+    pred = task.predict_fn(state.params, jnp.asarray(batch["observed"]),
+                           jnp.asarray(batch["known"]))
     assert pred.shape == (4, 4, 3)
     # quantile monotonicity after training (p10 <= p50 <= p90 mostly)
     p = np.asarray(pred)

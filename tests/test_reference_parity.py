@@ -710,3 +710,64 @@ def test_tft_forward_parity(monkeypatch):
         deterministic=True,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Jasper — SpeechRecognition/Jasper/jasper/model.py:88-264
+# ---------------------------------------------------------------------------
+
+
+def test_jasper_forward_parity():
+    """Reference Jasper (seeded, eval, randomized BN stats) ->
+    convert_jasper -> our Jasper must reproduce CTC log-probs, including
+    the dense-residual pane wiring and explicit same-padding."""
+    root = REF + "/SpeechRecognition/Jasper"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from jasper.model import Jasper as RefJasper
+
+    from deeplearningexamples_tpu.models.asr import (
+        Jasper, JasperBlock, JasperConfig,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import convert_jasper
+
+    seed_all(0)
+    blocks = (
+        JasperBlock(1, 32, 11, 0.0, residual=False, stride=2),
+        JasperBlock(2, 32, 11, 0.0, dense=True),
+        JasperBlock(2, 48, 13, 0.0, dense=True),
+        JasperBlock(1, 64, 29, 0.0, residual=False, dilation=2),
+        JasperBlock(1, 96, 1, 0.0, residual=False),
+    )
+    ref_blocks = [
+        dict(filters=b.channels, repeat=b.repeats, kernel_size=[b.kernel],
+             stride=[b.stride], dilation=[b.dilation], dropout=0.0,
+             residual=b.residual, residual_dense=b.dense)
+        for b in blocks
+    ]
+    n_mels, vocab = 16, 29
+    ref = RefJasper(
+        encoder_kw=dict(in_feats=n_mels, activation="relu",
+                        use_conv_masks=False, blocks=ref_blocks),
+        decoder_kw=dict(in_feats=96, n_classes=vocab),
+    ).eval()
+    randomize_bn_stats(ref)
+
+    cfg = JasperConfig(n_mels=n_mels, vocab_size=vocab, blocks=blocks)
+    model = Jasper(cfg, dtype=jnp.float32)
+    params, stats = convert_jasper(sd_numpy(ref), blocks)
+
+    rng = np.random.default_rng(6)
+    feats = rng.standard_normal((2, 64, n_mels)).astype(np.float32)
+    with torch.no_grad():
+        # reference takes (B, C, T); without conv masks forward returns
+        # just the log-probs tensor
+        ref_out = ref(torch.tensor(feats).transpose(1, 2))
+        if isinstance(ref_out, tuple):
+            ref_out = ref_out[0]
+        ref_out = ref_out.numpy()
+    ours = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4, rtol=2e-4)
