@@ -86,7 +86,9 @@ class HiFiGanGenerator(nn.Module):
                              name=f"mrf_{i}_{j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / len(cfg.resblock_kernels)
-        x = nn.leaky_relu(x, cfg.lrelu)
+        # the reference's final activation is F.leaky_relu(x) with the torch
+        # DEFAULT 0.01 slope (models.py:222), unlike the 0.1 used elsewhere
+        x = nn.leaky_relu(x, 0.01)
         x = nn.Conv(1, (7,), dtype=jnp.float32, name="post")(x.astype(jnp.float32))
         return jnp.tanh(x)[..., 0]
 

@@ -33,6 +33,7 @@ __all__ = [
     "convert_gnmt",
     "convert_tft",
     "convert_jasper",
+    "convert_hifigan_generator",
 ]
 
 
@@ -724,3 +725,35 @@ def convert_jasper(sd: Mapping[str, np.ndarray],
     params["head"] = {"kernel": conv1d(sd["decoder.layers.0.weight"]),
                       "bias": sd["decoder.layers.0.bias"]}
     return params, stats
+
+
+def convert_hifigan_generator(sd: Mapping[str, np.ndarray],
+                              n_up: int, n_kernels: int,
+                              n_convs: int) -> dict:
+    """Reference HiFi-GAN Generator state_dict (``SpeechSynthesis/HiFiGAN/
+    hifigan/models.py:140-233``, weight-normed) -> ``HiFiGanGenerator``
+    params. ConvTranspose kernels transpose (in,out,k)->(k,in,out) AND flip
+    the spatial axis: torch's ConvTranspose1d(padding=(k-u)//2) equals flax
+    ``ConvTranspose(padding="SAME")`` with a mirrored kernel (verified
+    numerically to 6e-8)."""
+
+    def conv(prefix):
+        w = _wn_fold(sd, prefix)  # (out, in, k)
+        return {"kernel": np.transpose(w, (2, 1, 0)),
+                "bias": sd[f"{prefix}.bias"]}
+
+    def convt(prefix):
+        w = _wn_fold(sd, prefix)  # (in, out, k)
+        kern = np.transpose(w, (2, 0, 1))[::-1].copy()
+        return {"kernel": kern, "bias": sd[f"{prefix}.bias"]}
+
+    params: dict = {"pre": conv("conv_pre"), "post": conv("conv_post")}
+    for i in range(n_up):
+        params[f"up_{i}"] = convt(f"ups.{i}")
+        for j in range(n_kernels):
+            blk: dict = {}
+            for m in range(n_convs):
+                blk[f"c1_{m}"] = conv(f"resblocks.{i}.{j}.convs1.{m}")
+                blk[f"c2_{m}"] = conv(f"resblocks.{i}.{j}.convs2.{m}")
+            params[f"mrf_{i}_{j}"] = blk
+    return params

@@ -771,3 +771,75 @@ def test_jasper_forward_parity():
         jnp.asarray(feats), train=False,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN generator — SpeechSynthesis/HiFiGAN/hifigan/models.py:75-233
+# ---------------------------------------------------------------------------
+
+
+def test_hifigan_generator_parity():
+    """Reference weight-normed Generator (seeded, eval) ->
+    convert_hifigan_generator -> our HiFiGanGenerator must reproduce the
+    waveform (incl. the ConvTranspose kernel-mirroring equivalence)."""
+    # reuse the librosa stub machinery (common/stft.py imports librosa);
+    # the Jasper root also exports a "common" package — purge any cached
+    # modules so HiFiGAN's own common/hifigan packages resolve
+    if "librosa" not in sys.modules:
+        lib = types.ModuleType("librosa")
+        lib.__path__ = []
+        lib_u = types.ModuleType("librosa.util")
+        lib_u.pad_center = lambda data, size, **k: data
+        lib_u.tiny = lambda x: np.finfo(np.float32).tiny
+        sys.modules["librosa"] = lib
+        sys.modules["librosa.util"] = lib_u
+    if "soundfile" not in sys.modules:  # common/utils.py imports it
+        sys.modules["soundfile"] = types.ModuleType("soundfile")
+    for name in [m for m in list(sys.modules)
+                 if m == "common" or m.startswith("common.")]:
+        del sys.modules[name]
+    # Jasper's common/ is a REGULAR package (has __init__.py) and would win
+    # over HiFiGAN's namespace-package common/ at ANY sys.path position
+    jasper_root = REF + "/SpeechRecognition/Jasper"
+    if jasper_root in sys.path:
+        sys.path.remove(jasper_root)
+    root = REF + "/SpeechSynthesis/HiFiGAN"
+    if root in sys.path:
+        sys.path.remove(root)
+    sys.path.insert(0, root)
+    from hifigan.models import Generator as RefGenerator
+
+    from deeplearningexamples_tpu.models.tts.hifigan import (
+        HiFiGanConfig, HiFiGanGenerator,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_hifigan_generator,
+    )
+
+    seed_all(0)
+    conf = dict(
+        resblock="1",
+        upsample_rates=[8, 2],
+        upsample_kernel_sizes=[16, 4],
+        upsample_initial_channel=32,
+        resblock_kernel_sizes=[3, 7],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]],
+    )
+    ref = RefGenerator(conf).eval()
+
+    cfg = HiFiGanConfig(
+        upsample_rates=(8, 2), upsample_kernels=(16, 4),
+        upsample_initial_channel=32, resblock_kernels=(3, 7),
+        resblock_dilations=((1, 3, 5), (1, 3, 5)),
+    )
+    model = HiFiGanGenerator(cfg, dtype=jnp.float32)
+    params = convert_hifigan_generator(sd_numpy(ref), n_up=2, n_kernels=2,
+                                       n_convs=3)
+
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((2, 23, 80)).astype(np.float32)
+    with torch.no_grad():
+        ref_audio = ref(torch.tensor(mel).transpose(1, 2)).numpy()[:, 0, :]
+    ours = model.apply({"params": params}, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(ours), ref_audio,
+                               atol=2e-5, rtol=2e-5)
