@@ -34,6 +34,7 @@ __all__ = [
     "convert_tft",
     "convert_jasper",
     "convert_hifigan_generator",
+    "convert_fastpitch",
 ]
 
 
@@ -756,4 +757,55 @@ def convert_hifigan_generator(sd: Mapping[str, np.ndarray],
                 blk[f"c1_{m}"] = conv(f"resblocks.{i}.{j}.convs1.{m}")
                 blk[f"c2_{m}"] = conv(f"resblocks.{i}.{j}.convs2.{m}")
             params[f"mrf_{i}_{j}"] = blk
+    return params
+
+
+def convert_fastpitch(sd: Mapping[str, np.ndarray], n_enc: int, n_dec: int,
+                      n_pred_layers: int = 2, energy: bool = True) -> dict:
+    """Reference FastPitch state_dict (``SpeechSynthesis/FastPitch/
+    fastpitch/{model,transformer}.py``) -> ``models/tts/FastPitch`` params.
+    The ConvAttention aligner's weights (training-data machinery) are
+    skipped."""
+
+    def conv1d(prefix):
+        return {"kernel": np.transpose(sd[f"{prefix}.weight"], (2, 1, 0)),
+                "bias": sd[f"{prefix}.bias"]}
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def fft_layer(prefix):
+        return {
+            "qkv": {"kernel": _dense(sd[f"{prefix}.dec_attn.qkv_net.weight"]),
+                    "bias": sd[f"{prefix}.dec_attn.qkv_net.bias"]},
+            "o_net": {"kernel": _dense(sd[f"{prefix}.dec_attn.o_net.weight"])},
+            "ln1": ln(f"{prefix}.dec_attn.layer_norm"),
+            "conv1": conv1d(f"{prefix}.pos_ff.CoreNet.0"),
+            "conv2": conv1d(f"{prefix}.pos_ff.CoreNet.2"),
+            "ln2": ln(f"{prefix}.pos_ff.layer_norm"),
+        }
+
+    def predictor(prefix):
+        out = {"fc": {"kernel": _dense(sd[f"{prefix}.fc.weight"]),
+                      "bias": sd[f"{prefix}.fc.bias"]}}
+        for i in range(n_pred_layers):
+            out[f"conv{i}"] = conv1d(f"{prefix}.layers.{i}.conv")
+            out[f"ln{i}"] = ln(f"{prefix}.layers.{i}.norm")
+        return out
+
+    params: dict = {
+        "embed": {"embedding": sd["encoder.word_emb.weight"]},
+        "duration_predictor": predictor("duration_predictor"),
+        "pitch_predictor": predictor("pitch_predictor"),
+        "pitch_embed": conv1d("pitch_emb"),
+        "mel_proj": {"kernel": _dense(sd["proj.weight"]),
+                     "bias": sd["proj.bias"]},
+    }
+    if energy:
+        params["energy_predictor"] = predictor("energy_predictor")
+        params["energy_embed"] = conv1d("energy_emb")
+    for i in range(n_enc):
+        params[f"enc_{i}"] = fft_layer(f"encoder.layers.{i}")
+    for i in range(n_dec):
+        params[f"dec_{i}"] = fft_layer(f"decoder.layers.{i}")
     return params

@@ -843,3 +843,119 @@ def test_hifigan_generator_parity():
     ours = model.apply({"params": params}, jnp.asarray(mel))
     np.testing.assert_allclose(np.asarray(ours), ref_audio,
                                atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# FastPitch — SpeechSynthesis/FastPitch/fastpitch/{model,transformer}.py
+# ---------------------------------------------------------------------------
+
+
+def test_fastpitch_forward_parity():
+    """Reference FastPitch (seeded, eval) with given durations/pitch/energy
+    -> convert_fastpitch -> our training forward must reproduce the mel and
+    the duration/pitch predictor outputs."""
+    if "librosa" not in sys.modules:
+        lib = types.ModuleType("librosa")
+        lib.__path__ = []
+        lib_f = types.ModuleType("librosa.filters")
+        lib_f.mel = lambda *a, **k: np.zeros((80, 513), np.float32)
+        lib_u = types.ModuleType("librosa.util")
+        lib_u.pad_center = lambda data, size, **k: data
+        lib_u.tiny = lambda x: np.finfo(np.float32).tiny
+        lib.filters = lib_f
+        lib.util = lib_u
+        sys.modules["librosa"] = lib
+        sys.modules["librosa.filters"] = lib_f
+        sys.modules["librosa.util"] = lib_u
+    if "numba" not in sys.modules:  # fastpitch/alignment.py (MAS) wants it
+        numba = types.ModuleType("numba")
+        numba.jit = lambda *a, **k: (lambda f: f)
+        numba.prange = range
+        sys.modules["numba"] = numba
+    for name in [m for m in list(sys.modules)
+                 if m == "common" or m.startswith("common.")
+                 or m == "fastpitch" or m.startswith("fastpitch.")]:
+        del sys.modules[name]
+    for p in (REF + "/SpeechRecognition/Jasper",
+              REF + "/SpeechSynthesis/HiFiGAN"):
+        if p in sys.path:
+            sys.path.remove(p)
+    root = REF + "/SpeechSynthesis/FastPitch"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from fastpitch.model import FastPitch as RefFastPitch
+
+    from deeplearningexamples_tpu.models.tts.fastpitch import (
+        FastPitch, FastPitchConfig,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import convert_fastpitch
+
+    seed_all(0)
+    d_model, n_enc, n_dec = 64, 2, 2
+    ref = RefFastPitch(
+        n_mel_channels=20, n_symbols=40, padding_idx=0,
+        symbols_embedding_dim=d_model,
+        in_fft_n_layers=n_enc, in_fft_n_heads=1, in_fft_d_head=16,
+        in_fft_conv1d_kernel_size=3, in_fft_conv1d_filter_size=128,
+        in_fft_output_size=d_model,
+        p_in_fft_dropout=0.0, p_in_fft_dropatt=0.0, p_in_fft_dropemb=0.0,
+        out_fft_n_layers=n_dec, out_fft_n_heads=1, out_fft_d_head=16,
+        out_fft_conv1d_kernel_size=3, out_fft_conv1d_filter_size=128,
+        out_fft_output_size=d_model,
+        p_out_fft_dropout=0.0, p_out_fft_dropatt=0.0, p_out_fft_dropemb=0.0,
+        dur_predictor_kernel_size=3, dur_predictor_filter_size=32,
+        p_dur_predictor_dropout=0.0, dur_predictor_n_layers=2,
+        pitch_predictor_kernel_size=3, pitch_predictor_filter_size=32,
+        p_pitch_predictor_dropout=0.0, pitch_predictor_n_layers=2,
+        pitch_embedding_kernel_size=3,
+        energy_conditioning=True,
+        energy_predictor_kernel_size=3, energy_predictor_filter_size=32,
+        p_energy_predictor_dropout=0.0, energy_predictor_n_layers=2,
+        energy_embedding_kernel_size=3,
+        n_speakers=1, speaker_emb_weight=1.0,
+    ).eval()
+
+    cfg = FastPitchConfig(
+        n_symbols=40, d_model=d_model, n_heads=1, head_dim=16,
+        encoder_layers=n_enc, decoder_layers=n_dec, conv_kernel=3,
+        conv_filters=128, n_mels=20, dropout=0.0, dropatt=0.0,
+        predictor_filters=32, energy=True,
+    )
+    model = FastPitch(cfg, dtype=jnp.float32)
+    params = convert_fastpitch(sd_numpy(ref), n_enc=n_enc, n_dec=n_dec)
+
+    rng = np.random.default_rng(8)
+    b, t = 2, 9
+    text = rng.integers(1, 40, (b, t)).astype(np.int64)
+    dur = rng.integers(1, 4, (b, t)).astype(np.int64)
+    pitch = rng.standard_normal((b, t)).astype(np.float32)
+    total = int(dur.sum(1).max())
+
+    with torch.no_grad():
+        # energy_tgt is left None: the reference's infer has an
+        # UnboundLocalError when it is given (model.py:385) — both sides
+        # condition on the PREDICTED energy instead
+        ref_mel, ref_lens, *_ = ref.infer(
+            torch.tensor(text), dur_tgt=torch.tensor(dur.astype(np.float32)),
+            pitch_tgt=torch.tensor(pitch)[:, None, :],
+        )
+    mel, log_dur, pitch_pred, energy_pred, mel_mask = model.apply(
+        {"params": params}, jnp.asarray(text, jnp.int32),
+        jnp.asarray(dur, jnp.int32), jnp.asarray(pitch),
+        energy=None, max_mel_len=total, deterministic=True,
+    )
+    ref_mel = ref_mel.numpy().transpose(0, 2, 1)  # infer permutes to (B,M,T)
+    ours = np.asarray(mel)
+    lens = dur.sum(1)
+    for i in range(b):
+        np.testing.assert_allclose(ours[i, : lens[i]], ref_mel[i, : lens[i]],
+                                   atol=2e-4, rtol=2e-4)
+    # predictor outputs (computed, unused by the conditioned path)
+    with torch.no_grad():
+        enc_out, enc_mask = ref.encoder(torch.tensor(text))
+        ref_logdur = ref.duration_predictor(enc_out, enc_mask).squeeze(-1).numpy()
+        ref_pitch = ref.pitch_predictor(enc_out, enc_mask).squeeze(-1).numpy()
+    np.testing.assert_allclose(np.asarray(log_dur), ref_logdur,
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(pitch_pred), ref_pitch,
+                               atol=2e-4, rtol=2e-4)
