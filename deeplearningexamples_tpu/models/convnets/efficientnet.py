@@ -93,17 +93,23 @@ class MBConvBlock(nn.Module):
             y = conv(mid, (1, 1), name="expand_conv")(y)
             y = norm(name="expand_bn")(y)
             y = nn.swish(y)
+        # explicit symmetric (k-1)//2 padding (reference LayerBuilder.conv,
+        # common.py:48) — flax "SAME" pads asymmetrically under stride 2
+        dpad = (self.kernel - 1) // 2
         y = conv(mid, (self.kernel, self.kernel),
                  strides=(self.stride, self.stride),
+                 padding=((dpad, dpad), (dpad, dpad)),
                  feature_group_count=mid, name="depthwise_conv")(y)
         y = norm(name="depthwise_bn")(y)
         y = nn.swish(y)
         if self.arch.se_ratio:
-            # reference: squeeze width from in_ch (widese: from mid)
+            # reference: squeeze width from in_ch (widese: from mid); the SE
+            # hidden activation is the builder activation = SiLU for EffNet
+            # (common.py:146-165 with builder.activation())
             base = mid if self.arch.widese else self.in_ch
             squeezed = max(1, int(base * self.arch.se_ratio))
-            y = SqueezeExcite(squeeze=mid // squeezed, dtype=self.dtype,
-                              name="se")(y)
+            y = SqueezeExcite(features=squeezed, act=nn.swish,
+                              dtype=self.dtype, name="se")(y)
         y = conv(self.out_ch, (1, 1), name="project_conv")(y)
         y = norm(name="project_bn")(y)
         if self.stride == 1 and self.in_ch == self.out_ch:
@@ -138,7 +144,8 @@ class EfficientNet(nn.Module):
 
         x = x.astype(self.dtype)
         stem = arch.scaled_width(32)
-        x = conv(stem, (3, 3), strides=(2, 2), name="stem_conv")(x)
+        x = conv(stem, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                 name="stem_conv")(x)
         x = norm(name="stem_bn")(x)
         x = nn.swish(x)
 

@@ -45,17 +45,23 @@ class ResNetArch:
 
 
 class SqueezeExcite(nn.Module):
-    """Channel SE (reference ``models/common.py:146-188``)."""
+    """Channel SE (reference ``models/common.py:146-188``). The hidden
+    activation follows the host network's builder activation — ReLU for
+    SE-ResNeXt, SiLU for EfficientNet. ``features`` (absolute squeeze
+    width) takes precedence over the ``squeeze`` divisor."""
 
-    squeeze: int
+    squeeze: int = 0
     dtype: Any = jnp.float32
+    features: int | None = None
+    act: Any = nn.relu
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
+        hidden = self.features if self.features is not None else c // self.squeeze
         s = jnp.mean(x, axis=(1, 2), dtype=jnp.float32).astype(self.dtype)
-        s = nn.Dense(c // self.squeeze, dtype=self.dtype, name="squeeze")(s)
-        s = nn.relu(s)
+        s = nn.Dense(hidden, dtype=self.dtype, name="squeeze")(s)
+        s = self.act(s)
         s = nn.Dense(c, dtype=self.dtype, name="expand")(s)
         s = nn.sigmoid(s)
         return x * s[:, None, None, :]

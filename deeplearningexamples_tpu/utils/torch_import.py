@@ -35,6 +35,7 @@ __all__ = [
     "convert_jasper",
     "convert_hifigan_generator",
     "convert_fastpitch",
+    "convert_efficientnet",
 ]
 
 
@@ -809,3 +810,56 @@ def convert_fastpitch(sd: Mapping[str, np.ndarray], n_enc: int, n_dec: int,
     for i in range(n_dec):
         params[f"dec_{i}"] = fft_layer(f"decoder.layers.{i}")
     return params
+
+
+def convert_efficientnet(sd: Mapping[str, np.ndarray], num_repeat,
+                         expansion) -> tuple[dict, dict]:
+    """Reference EfficientNet state_dict (``Classification/ConvNets/
+    image_classification/models/efficientnet.py:175-466``) ->
+    (params, batch_stats) for ``models/convnets/EfficientNet``.
+    ``num_repeat``/``expansion`` are the (scaled) per-stage lists."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(dst, conv_src, bn_src, depthwise=False):
+        w = _conv(sd[f"{conv_src}.weight"])
+        if depthwise:
+            # torch depthwise (C,1,k,k) -> _conv gives (k,k,1,C) — already
+            # the flax feature_group_count layout
+            pass
+        p, s = _bn(sd, bn_src)
+        return w, p, s
+
+    w, p, s = put("stem", "stem.conv", "stem.bn")
+    params["stem_conv"] = {"kernel": w}
+    params["stem_bn"], stats["stem_bn"] = p, s
+    for si, (r, e) in enumerate(zip(num_repeat, expansion)):
+        for j in range(r):
+            src = f"layers.{si}.block{j}"
+            dst = f"stage{si}_{j}"
+            blk_p: dict = {}
+            blk_s: dict = {}
+            if e != 1:
+                w, p, s = put(dst, f"{src}.expand.conv", f"{src}.expand.bn")
+                blk_p["expand_conv"] = {"kernel": w}
+                blk_p["expand_bn"], blk_s["expand_bn"] = p, s
+            w, p, s = put(dst, f"{src}.depsep.conv", f"{src}.depsep.bn",
+                          depthwise=True)
+            blk_p["depthwise_conv"] = {"kernel": w}
+            blk_p["depthwise_bn"], blk_s["depthwise_bn"] = p, s
+            blk_p["se"] = {
+                "squeeze": {"kernel": _dense(sd[f"{src}.se.squeeze.weight"]),
+                            "bias": sd[f"{src}.se.squeeze.bias"]},
+                "expand": {"kernel": _dense(sd[f"{src}.se.expand.weight"]),
+                           "bias": sd[f"{src}.se.expand.bias"]},
+            }
+            w, p, s = put(dst, f"{src}.proj.conv", f"{src}.proj.bn")
+            blk_p["project_conv"] = {"kernel": w}
+            blk_p["project_bn"], blk_s["project_bn"] = p, s
+            params[dst], stats[dst] = blk_p, blk_s
+    w, p, s = put("head", "features.conv", "features.bn")
+    params["head_conv"] = {"kernel": w}
+    params["head_bn"], stats["head_bn"] = p, s
+    params["fc"] = {"kernel": _dense(sd["classifier.fc.weight"]),
+                    "bias": sd["classifier.fc.bias"]}
+    return params, stats

@@ -959,3 +959,81 @@ def test_fastpitch_forward_parity():
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(pitch_pred), ref_pitch,
                                atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-B0 — Classification/ConvNets/image_classification/models/
+# efficientnet.py:175-533
+# ---------------------------------------------------------------------------
+
+
+def test_efficientnet_b0_forward_parity():
+    """Reference EfficientNet-B0 (seeded, eval, randomized BN stats) ->
+    convert_efficientnet -> our EfficientNet must reproduce logits,
+    including the SiLU squeeze-excitation activation."""
+    root = REF + "/Classification/ConvNets"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from image_classification.models.efficientnet import (
+        EfficientNet as RefEffNet, effnet_b0_layers,
+    )
+
+    from deeplearningexamples_tpu.models.convnets import EFFNET_ARCHS, EfficientNet
+    from deeplearningexamples_tpu.utils.torch_import import convert_efficientnet
+
+    seed_all(0)
+    ref = RefEffNet(arch=effnet_b0_layers, dropout=0.0, num_classes=37).eval()
+    randomize_bn_stats(ref)
+
+    model = EfficientNet(EFFNET_ARCHS["efficientnet-b0"], num_classes=37,
+                         dtype=jnp.float32)
+    params, stats = convert_efficientnet(
+        sd_numpy(ref), num_repeat=effnet_b0_layers.num_repeat,
+        expansion=effnet_b0_layers.expansion)
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    ours = model.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_resnet50_forward_parity():
+    """Reference ResNet-50 (seeded, eval, randomized BN stats) ->
+    convert_resnet50 -> our ResNet must reproduce logits (the true
+    numerics counterpart of the remap-mechanics test in
+    test_torch_import.py)."""
+    root = REF + "/Classification/ConvNets"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from image_classification.models import resnet as ref_resnet
+
+    from deeplearningexamples_tpu.models.convnets import resnet50
+    from deeplearningexamples_tpu.utils.torch_import import convert_resnet50
+
+    seed_all(0)
+    m = ref_resnet.__dict__["__models"]["resnet50"]
+    ref = m.constructor(m.arch, num_classes=13).eval()
+    randomize_bn_stats(ref)
+
+    # reference names stages "layers.{i}."; the converter speaks
+    # torchvision's "layer{i+1}." (the NGC checkpoint layout)
+    sd = {}
+    for k, v in sd_numpy(ref).items():
+        for i in range(4):
+            k = k.replace(f"layers.{i}.", f"layer{i + 1}.")
+        sd[k] = v
+    params, stats = convert_resnet50(sd)
+
+    model = resnet50(num_classes=13, dtype=jnp.float32)
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    ours = model.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=5e-4, rtol=5e-4)
