@@ -139,8 +139,11 @@ class BondGlow(nn.Module):
         b, n, _, e = adj.shape
         f = cfg.bond_squeeze
         sq_ch = e * f * f
+        # channel order (e, fh, fw) matches the reference's NCHW squeeze
+        # (glow.py:158-166) so converted conv weights map 1:1 and the
+        # coupling's channel halves partition identically
         x = adj.reshape(b, n // f, f, n // f, f, e)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, n // f, n // f, sq_ch)
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, n // f, n // f, sq_ch)
         elements = (n // f) * (n // f)
         flows = [
             (ActNorm(sq_ch, elements, name=f"actnorm{i}"),
@@ -159,8 +162,8 @@ class BondGlow(nn.Module):
                 x, d1 = actnorm(x)
                 x, d2 = coupling(x, train=train)
                 logdet = logdet + d1 + d2
-        x = x.reshape(b, n // f, n // f, f, f, e)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, n, n, e)
+        x = x.reshape(b, n // f, n // f, e, f, f)
+        x = x.transpose(0, 1, 4, 2, 5, 3).reshape(b, n, n, e)
         return x if reverse else (x, logdet)
 
 
@@ -192,15 +195,17 @@ class GraphAffineCoupling(nn.Module):
     def _s_t(self, adj, masked_x, train):
         cfg = self.cfg
         h = masked_x
+        # the reference's coupling BatchNorm2d(n_node) normalizes per NODE
+        # row (coupling.py:112,129), not per feature — axis=1 here
         for i, d in enumerate(cfg.atom_hidden_gnn):
             h = GraphConv(d, cfg.n_bond_types, name=f"gnn{i}")(adj, h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f"gnn_bn{i}")(h)
+                             axis=1, name=f"gnn_bn{i}")(h)
             h = nn.relu(h)
         for i, d in enumerate(cfg.atom_hidden_lin):
             h = nn.Dense(d, name=f"lin{i}")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             name=f"lin_bn{i}")(h)
+                             axis=1, name=f"lin_bn{i}")(h)
             h = nn.relu(h)
         h = nn.Dense(cfg.n_atom_types * 2, name="out")(h)
         return jnp.split(h, 2, axis=-1)

@@ -36,6 +36,7 @@ __all__ = [
     "convert_hifigan_generator",
     "convert_fastpitch",
     "convert_efficientnet",
+    "convert_moflow",
 ]
 
 
@@ -862,4 +863,70 @@ def convert_efficientnet(sd: Mapping[str, np.ndarray], num_repeat,
     params["head_bn"], stats["head_bn"] = p, s
     params["fc"] = {"kernel": _dense(sd["classifier.fc.weight"]),
                     "bias": sd["classifier.fc.bias"]}
+    return params, stats
+
+
+def convert_moflow(sd: Mapping[str, np.ndarray], bond_n_flow: int,
+                   bond_hidden, atom_n_flow: int, atom_hidden_gnn,
+                   atom_hidden_lin) -> tuple[dict, dict]:
+    """Reference MoFlow state_dict (``DrugDiscovery/MoFlow/moflow/model/``)
+    -> (params, batch_stats) for ``models/moflow.MoFlow`` (conv_lu=2
+    single-block configuration, which is what both published recipes use)."""
+    params: dict = {"bond_glow": {}, "atom_flow": {}}
+    stats: dict = {"bond_glow": {}, "atom_flow": {}}
+
+    def bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+                {"mean": sd[f"{prefix}.running_mean"],
+                 "var": sd[f"{prefix}.running_var"]})
+
+    for i in range(bond_n_flow):
+        src = f"bond_model.blocks.0.flows.{i}"
+        params["bond_glow"][f"actnorm{i}"] = {
+            "loc": sd[f"{src}.actnorm.loc"].reshape(-1),
+            "scale": sd[f"{src}.actnorm.scale"].reshape(-1),
+        }
+        cp: dict = {}
+        cs: dict = {}
+        for j in range(len(bond_hidden)):
+            cp[f"conv{j}"] = {
+                "kernel": _conv(sd[f"{src}.coupling.layers.{3 * j}.weight"]),
+                "bias": sd[f"{src}.coupling.layers.{3 * j}.bias"],
+            }
+            cp[f"bn{j}"], cs[f"bn{j}"] = bn(f"{src}.coupling.layers.{3 * j + 1}")
+        jout = 3 * len(bond_hidden)
+        cp["out"] = {
+            "kernel": _conv(sd[f"{src}.coupling.layers.{jout}.weight"]),
+            "bias": sd[f"{src}.coupling.layers.{jout}.bias"],
+        }
+        params["bond_glow"][f"coupling{i}"] = cp
+        stats["bond_glow"][f"coupling{i}"] = cs
+
+    for i in range(atom_n_flow):
+        src = f"atom_model.blocks.0.flows.{i}"
+        params["atom_flow"][f"actnorm{i}"] = {
+            "loc": sd[f"{src}.actnorm.loc"].reshape(-1),
+            "scale": sd[f"{src}.actnorm.scale"].reshape(-1),
+        }
+        cp = {}
+        cs = {}
+        for k in range(len(atom_hidden_gnn)):
+            g = f"{src}.coupling.net_conv.{k}"
+            cp[f"gnn{k}"] = {
+                "self": {"kernel": _dense(sd[f"{g}.graph_conv.graph_linear_self.weight"]),
+                         "bias": sd[f"{g}.graph_conv.graph_linear_self.bias"]},
+                "edge": {"kernel": _dense(sd[f"{g}.graph_conv.graph_linear_edge.weight"]),
+                         "bias": sd[f"{g}.graph_conv.graph_linear_edge.bias"]},
+            }
+            cp[f"gnn_bn{k}"], cs[f"gnn_bn{k}"] = bn(f"{g}.bn")
+        for k in range(len(atom_hidden_lin)):
+            li = f"{src}.coupling.net_lin.{k}"
+            cp[f"lin{k}"] = {"kernel": _dense(sd[f"{li}.lin.weight"]),
+                             "bias": sd[f"{li}.lin.bias"]}
+            cp[f"lin_bn{k}"], cs[f"lin_bn{k}"] = bn(f"{li}.bn")
+        kout = len(atom_hidden_lin)
+        cp["out"] = {"kernel": _dense(sd[f"{src}.coupling.net_lin.{kout}.weight"]),
+                     "bias": sd[f"{src}.coupling.net_lin.{kout}.bias"]}
+        params["atom_flow"][f"coupling{i}"] = cp
+        stats["atom_flow"][f"coupling{i}"] = cs
     return params, stats

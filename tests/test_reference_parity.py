@@ -1037,3 +1037,96 @@ def test_resnet50_forward_parity():
                        jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(ours), ref_logits,
                                atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# MoFlow — DrugDiscovery/MoFlow/moflow/model/{basic,coupling,glow}.py
+# ---------------------------------------------------------------------------
+
+
+def test_moflow_forward_and_reverse_parity():
+    """Reference Glow (bonds) + GlowOnGraph (atoms), seeded, eval,
+    randomized actnorm/BN stats -> convert_moflow -> our MoFlow must
+    reproduce z_x, z_adj, the bond logdet, and the bond-flow reverse.
+    (The atom logdet keeps our documented exact-masked-sum deviation: the
+    reference sums logsigmoid over masked identity rows too.)"""
+    root = REF + "/DrugDiscovery/MoFlow"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from moflow.model.glow import Glow, GlowOnGraph
+
+    from deeplearningexamples_tpu.models.moflow import MoFlow, MoFlowConfig
+    from deeplearningexamples_tpu.utils.torch_import import convert_moflow
+
+    seed_all(0)
+    N, T, E = 9, 5, 4
+    bond_hidden, gnn_hidden, lin_hidden = (8, 8), (8,), (8, 4)
+
+    class RefMoFlow(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.bond_model = Glow(in_channel=E, n_flow=2, n_block=1,
+                                   squeeze_fold=3, hidden_channel=bond_hidden,
+                                   conv_lu=2)
+            self.atom_model = GlowOnGraph(
+                n_node=N, in_dim=T,
+                hidden_dim_dict={"gnn": list(gnn_hidden),
+                                 "linear": list(lin_hidden)},
+                n_flow=3, n_block=1,
+                mask_row_size_list=(1,), mask_row_stride_list=(1,))
+
+    ref = RefMoFlow().eval()
+    randomize_bn_stats(ref)
+    g = torch.Generator().manual_seed(3)
+    for m in ref.modules():
+        if m.__class__.__name__ == "ActNorm":
+            m.loc.data.uniform_(-0.2, 0.2, generator=g)
+            m.scale.data.uniform_(0.7, 1.3, generator=g)
+            # forward logdet multiplies by num_elements (set by the
+            # data-dependent init in training)
+            numel = {4: (N // 3) ** 2, 3: T}[m.num_dims]
+            m.num_elements.fill_(numel)
+
+    cfg = MoFlowConfig(n_node=N, n_atom_types=T, n_bond_types=E,
+                       bond_n_flow=2, bond_squeeze=3, bond_hidden=bond_hidden,
+                       atom_n_flow=3, atom_hidden_gnn=gnn_hidden,
+                       atom_hidden_lin=lin_hidden)
+    model = MoFlow(cfg)
+    params, stats = convert_moflow(sd_numpy(ref), 2, bond_hidden, 3,
+                                   gnn_hidden, lin_hidden)
+
+    rng = np.random.default_rng(11)
+    adj = np.zeros((2, E, N, N), np.float32)
+    bonds = rng.integers(0, E, (2, N, N))
+    for b in range(2):
+        for i in range(N):
+            for j in range(N):
+                adj[b, bonds[b, i, j], i, j] = 1.0
+    x = np.eye(T, dtype=np.float32)[rng.integers(0, T, (2, N))]
+
+    with torch.no_grad():
+        ref_zx, ref_ldx = ref.atom_model(torch.tensor(adj), torch.tensor(x))
+        ref_zadj, ref_ldadj = ref.bond_model(torch.tensor(adj))
+
+    zx, zadj, ldx, ldadj = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(adj), jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(zx), ref_zx.numpy(),
+                               atol=2e-5, rtol=2e-5)
+    # ours is NHWC; reference z_adj is NCHW
+    np.testing.assert_allclose(
+        np.asarray(zadj).transpose(0, 3, 1, 2).reshape(2, -1),
+        ref_zadj.numpy().reshape(2, -1), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(ldadj), ref_ldadj.numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+    # bond reverse parity (flow inversion through converted weights)
+    with torch.no_grad():
+        ref_rev = ref.bond_model.reverse(ref_zadj).numpy()
+    ours_rev = model.apply(
+        {"params": params, "batch_stats": stats}, zadj,
+        train=False, reverse=True, method=lambda m, z, **kw: m.bond_glow(z, **kw),
+    )
+    np.testing.assert_allclose(np.asarray(ours_rev).transpose(0, 3, 1, 2),
+                               ref_rev, atol=1e-4, rtol=1e-4)
