@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-__all__ = ["UNetConfig", "DynUNet", "UNetTask", "dice_loss", "focal_loss"]
+__all__ = ["UNetConfig", "DynUNet", "UNetTask", "dice_loss", "focal_loss",
+           "BratsUNet3D"]
 
 
 @dataclass(frozen=True)
@@ -163,3 +164,134 @@ class UNetTask:
         denom = jnp.sum(p, axis=axes) + jnp.sum(y, axis=axes)
         dice = jnp.mean((2 * inter + 1e-5) / (denom + 1e-5))
         return {"dice": dice}
+
+
+# ---------------------------------------------------------------------------
+# BraTS22 UNet3D — the reference's on-disk network
+# (``nnUNet/nnunet/brats22_model.py``; the default path uses MONAI's DynUNet,
+# an external package — DynUNet above covers that role). Faithful details:
+# pre-norm ConvLayer (InstanceNorm over the INPUT channels, then conv, then
+# ReLU), an InputBlock whose second conv has no norm, trilinear
+# align_corners=True upsampling with skip concat, and deep-supervision heads
+# on the two next-to-last decoder levels.
+# ---------------------------------------------------------------------------
+
+
+def _instance_norm(x, scale, bias, eps=1e-5):
+    axes = tuple(range(1, x.ndim - 1))
+    mu = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x.astype(jnp.float32), axis=axes, keepdims=True)
+    return ((x - mu) * jax.lax.rsqrt(var + eps).astype(x.dtype)
+            * scale.astype(x.dtype) + bias.astype(x.dtype))
+
+
+def _upsample_align_corners(x, factor=2):
+    """Separable linear interpolation with torch's align_corners=True grid
+    (jax.image.resize uses the half-pixel convention, which differs)."""
+    for ax in range(1, x.ndim - 1):
+        n_in = x.shape[ax]
+        n_out = n_in * factor
+        if n_in == 1:
+            reps = [1] * x.ndim
+            reps[ax] = n_out
+            x = jnp.tile(x, reps)
+            continue
+        pos = jnp.arange(n_out) * (n_in - 1) / (n_out - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        w = (pos - lo).astype(x.dtype)
+        xl = jnp.take(x, lo, axis=ax)
+        xh = jnp.take(x, hi, axis=ax)
+        shape = [1] * x.ndim
+        shape[ax] = n_out
+        x = xl + (xh - xl) * w.reshape(shape)
+    return x
+
+
+class _BratsConvLayer(nn.Module):
+    out_ch: int
+    kernel: int
+    stride: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        # norm over the INPUT channels, then conv, then relu
+        # (brats22_model.py ConvLayer)
+        scale = self.param("in_scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("in_bias", nn.initializers.zeros, (x.shape[-1],))
+        x = _instance_norm(x, scale, bias)
+        pad = (self.kernel - self.stride + 1) // 2
+        x = nn.Conv(self.out_ch, (self.kernel,) * 3,
+                    strides=(self.stride,) * 3, padding=[(pad, pad)] * 3,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        return nn.relu(x)
+
+
+class _BratsConvBlock(nn.Module):
+    out_ch: int
+    kernel: int
+    stride: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = _BratsConvLayer(self.out_ch, self.kernel, self.stride,
+                            self.dtype, name="conv1")(x)
+        return _BratsConvLayer(self.out_ch, self.kernel, 1, self.dtype,
+                               name="conv2")(x)
+
+
+class BratsUNet3D(nn.Module):
+    """brats22_model.UNet3D (NDHWC). ``kernels``/``strides`` follow the
+    reference's per-level lists; filters are the fixed [64, 128, ...]
+    schedule truncated to ``len(strides)``."""
+
+    kernels: tuple[int, ...] = (3, 3, 3, 3)
+    strides: tuple[int, ...] = (1, 2, 2, 2)
+    in_channels: int = 5
+    n_classes: int = 3
+    deep_supervision: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        filters = [64, 128, 256, 512, 768, 1024, 2048][: len(self.strides)]
+        x = x.astype(self.dtype)
+
+        # InputBlock: conv-norm-relu-conv-relu (second conv unnormalized)
+        x = nn.Conv(filters[0], (3,) * 3, padding=[(1, 1)] * 3,
+                    use_bias=False, dtype=self.dtype, name="in_conv1")(x)
+        scale = self.param("in_scale", nn.initializers.ones, (filters[0],))
+        bias = self.param("in_bias", nn.initializers.zeros, (filters[0],))
+        x = nn.relu(_instance_norm(x, scale, bias))
+        x = nn.Conv(filters[0], (3,) * 3, padding=[(1, 1)] * 3,
+                    use_bias=False, dtype=self.dtype, name="in_conv2")(x)
+        x = nn.relu(x)
+
+        skips = [x]
+        for i, (k, s, f) in enumerate(zip(self.kernels[1:-1],
+                                          self.strides[1:-1], filters[1:])):
+            x = _BratsConvBlock(f, k, s, self.dtype, name=f"down_{i}")(x)
+            skips.append(x)
+        x = _BratsConvBlock(filters[-1], self.kernels[-1], self.strides[-1],
+                            self.dtype, name="bottleneck")(x)
+
+        decoder_outputs = []
+        up_filters = filters[:-1][::-1]
+        for i, f in enumerate(up_filters):
+            x = _upsample_align_corners(x)
+            x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
+            x = _BratsConvBlock(f, self.kernels[1:][::-1][i], 1, self.dtype,
+                                name=f"up_{i}")(x)
+            decoder_outputs.append(x)
+        out = nn.Conv(self.n_classes, (1,) * 3, dtype=jnp.float32,
+                      name="out_conv")(x.astype(jnp.float32))
+        if train and self.deep_supervision:
+            heads = [out]
+            for j, dec in enumerate(decoder_outputs[-3:-1][::-1]):
+                heads.append(nn.Conv(self.n_classes, (1,) * 3,
+                                     dtype=jnp.float32,
+                                     name=f"ds_{j}")(dec.astype(jnp.float32)))
+            return heads
+        return out

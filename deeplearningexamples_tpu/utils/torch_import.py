@@ -37,6 +37,7 @@ __all__ = [
     "convert_fastpitch",
     "convert_efficientnet",
     "convert_moflow",
+    "convert_brats_unet3d",
 ]
 
 
@@ -930,3 +931,50 @@ def convert_moflow(sd: Mapping[str, np.ndarray], bond_n_flow: int,
         params["atom_flow"][f"coupling{i}"] = cp
         stats["atom_flow"][f"coupling{i}"] = cs
     return params, stats
+
+
+def convert_brats_unet3d(sd: Mapping[str, np.ndarray], n_levels: int
+                         ) -> dict:
+    """Reference BraTS22 UNet3D state_dict (``Segmentation/nnUNet/nnunet/
+    brats22_model.py``) -> ``models/unet.BratsUNet3D`` params. torch 3D
+    conv (O,I,D,H,W) -> flax (D,H,W,I,O); instance norms are affine-only."""
+
+    def conv3d(prefix):
+        return {"kernel": np.transpose(sd[f"{prefix}.weight"],
+                                       (2, 3, 4, 1, 0))}
+
+    def layer(prefix):
+        return {
+            "conv": conv3d(f"{prefix}.conv"),
+            "in_scale": sd[f"{prefix}.norm.weight"],
+            "in_bias": sd[f"{prefix}.norm.bias"],
+        }
+
+    def block(prefix):
+        return {"conv1": layer(f"{prefix}.conv1"),
+                "conv2": layer(f"{prefix}.conv2")}
+
+    params: dict = {
+        "in_conv1": conv3d("input_block.conv1"),
+        "in_conv2": conv3d("input_block.conv2"),
+        "in_scale": sd["input_block.norm.weight"],
+        "in_bias": sd["input_block.norm.bias"],
+        "out_conv": {"kernel": np.transpose(sd["output_block.conv.weight"],
+                                            (2, 3, 4, 1, 0)),
+                     "bias": sd["output_block.conv.bias"]},
+    }
+    n_down = n_levels - 2  # levels minus input block and bottleneck
+    for i in range(n_down):
+        params[f"down_{i}"] = block(f"downsamples.{i}")
+    params["bottleneck"] = block("bottleneck")
+    for i in range(n_down + 1):
+        params[f"up_{i}"] = block(f"upsamples.{i}.conv_block")
+    for j in range(2):
+        if f"deep_supervision_heads.{j}.conv.weight" in sd:
+            params[f"ds_{j}"] = {
+                "kernel": np.transpose(
+                    sd[f"deep_supervision_heads.{j}.conv.weight"],
+                    (2, 3, 4, 1, 0)),
+                "bias": sd[f"deep_supervision_heads.{j}.conv.bias"],
+            }
+    return params

@@ -442,3 +442,23 @@ def test_wav2vec2_ctc_finetune_from_pretrained():
     logp = task.model.apply({"params": state.params}, batch["audio"])
     decoded = greedy_ctc_decode(np.asarray(logp))
     assert decoded[0][:3] == [1, 2, 3]  # memorized the transcript
+
+
+def test_brats_unet3d_deep_supervision_trains():
+    from deeplearningexamples_tpu.models.unet import BratsUNet3D
+
+    model = BratsUNet3D(kernels=(3, 3, 3), strides=(1, 2, 2),
+                        in_channels=2, n_classes=3, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 8, 8, 2)),
+                    jnp.float32)
+    params = model.init(jax.random.key(0), x, train=True)["params"]
+    heads = model.apply({"params": params}, x, train=True)
+    # 3 levels -> 2 decoder outputs -> decoder_outputs[-3:-1] gives 1 ds
+    # head (the reference slice), plus the main output
+    assert len(heads) == 2
+    assert heads[0].shape == (1, 8, 8, 8, 3)
+    g = jax.grad(lambda p: sum(
+        jnp.sum(h.astype(jnp.float32) ** 2)
+        for h in model.apply({"params": p}, x, train=True)))(params)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

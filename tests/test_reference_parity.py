@@ -1130,3 +1130,44 @@ def test_moflow_forward_and_reverse_parity():
     )
     np.testing.assert_allclose(np.asarray(ours_rev).transpose(0, 3, 1, 2),
                                ref_rev, atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# nnU-Net BraTS22 UNet3D — Segmentation/nnUNet/nnunet/brats22_model.py
+# ---------------------------------------------------------------------------
+
+
+def test_brats_unet3d_forward_parity():
+    """Reference UNet3D (seeded, eval, randomized instance-norm affines) ->
+    convert_brats_unet3d -> our BratsUNet3D must reproduce logits,
+    including the align_corners=True trilinear upsampling."""
+    root = REF + "/Segmentation/nnUNet"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from nnunet.brats22_model import UNet3D as RefUNet3D
+
+    from deeplearningexamples_tpu.models.unet import BratsUNet3D
+    from deeplearningexamples_tpu.utils.torch_import import convert_brats_unet3d
+
+    seed_all(0)
+    kernels = [3, 3, 3, 3]
+    strides = [1, 2, 2, 2]
+    ref = RefUNet3D(kernels, strides).eval()
+    g = torch.Generator().manual_seed(5)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.InstanceNorm3d):
+            m.weight.data.uniform_(0.7, 1.3, generator=g)
+            m.bias.data.uniform_(-0.2, 0.2, generator=g)
+
+    model = BratsUNet3D(kernels=tuple(kernels), strides=tuple(strides),
+                        dtype=jnp.float32)
+    params = convert_brats_unet3d(sd_numpy(ref), n_levels=len(strides))
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((1, 16, 16, 16, 5)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
+    ours = model.apply({"params": params}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.transpose(ref_out, (0, 2, 3, 4, 1)),
+        atol=5e-4, rtol=5e-4)
