@@ -42,7 +42,8 @@ class EfficientDetConfig:
     fpn_depth: int = 3
     head_depth: int = 3
     num_scales: int = 3
-    aspect_ratios: tuple[float, ...] = (1.0, 2.0, 0.5)
+    aspect_ratios: tuple[tuple[float, float], ...] = (
+        (1.0, 1.0), (1.4, 0.7), (0.7, 1.4))
     anchor_scale: float = 4.0
     min_level: int = 3
     max_level: int = 7
@@ -57,7 +58,9 @@ class EfficientDetConfig:
 
 
 def efficientdet_anchors(cfg: EfficientDetConfig) -> np.ndarray:
-    """All anchors, xyxy image coords (reference ``anchors.py:Anchors``)."""
+    """All anchors, xyxy image coords (reference ``anchors.py:101-170``).
+    Aspect "ratios" are (w_mult, h_mult) PAIRS — the published (1.4, 0.7)
+    values, not sqrt(2)-derived — applied to the octave-scaled base size."""
     out = []
     for level in range(cfg.min_level, cfg.max_level + 1):
         stride = 2 ** level
@@ -66,84 +69,114 @@ def efficientdet_anchors(cfg: EfficientDetConfig) -> np.ndarray:
             for x in range(size):
                 cy, cx = (y + 0.5) * stride, (x + 0.5) * stride
                 for s in range(cfg.num_scales):
-                    octave = 2 ** (s / cfg.num_scales)
-                    base = cfg.anchor_scale * stride * octave
-                    for ar in cfg.aspect_ratios:
-                        w = base * np.sqrt(ar)
-                        h = base / np.sqrt(ar)
+                    base = cfg.anchor_scale * stride * 2 ** (s / cfg.num_scales)
+                    for wm, hm in cfg.aspect_ratios:
+                        w = base * wm
+                        h = base * hm
                         out.append([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2])
     return np.asarray(out, np.float32)
 
 
 class SeparableConv(nn.Module):
+    """SeparableConv2d (reference ``model.py:77-103``): depthwise 3x3 (no
+    bias) + pointwise 1x1; d0 sets redundant_bias=False so the pointwise
+    bias exists only on the predict layers."""
+
     ch: int
     dtype: Any = jnp.bfloat16
+    bias: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(x.shape[-1], (3, 3), feature_group_count=x.shape[-1],
                     use_bias=False, dtype=self.dtype, name="dw")(x)
-        return nn.Conv(self.ch, (1, 1), use_bias=True, dtype=self.dtype,
+        return nn.Conv(self.ch, (1, 1), use_bias=self.bias, dtype=self.dtype,
                        name="pw")(x)
 
 
-def _fuse(name, mdl, inputs, dtype):
-    """Fast-normalized weighted fusion (reference ``bifpn.py`` Fnode):
-    sum(w_i * in_i) / (sum w_i + eps) with w = relu(learned)."""
-    w = mdl.param(name, nn.initializers.ones, (len(inputs),), jnp.float32)
-    w = nn.relu(w)
-    den = jnp.sum(w) + 1e-4
-    out = sum(wi * x for wi, x in zip(w, inputs)) / den
-    return out.astype(dtype)
+def _maxpool2(x):
+    # torch create_pool2d(k=3, s=2, pad_type='') pads k//2=1 symmetric
+    return nn.max_pool(x, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)))
+
+
+def _upsample2(x, factor):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), "nearest")
+
+
+class Resample(nn.Module):
+    """ResampleFeatureMap (reference ``model.py:106-156``): 1x1 conv (+BN,
+    apply_bn_for_resampling=True, no bias) when channels change, then
+    max-pool / nearest-upsample by the reduction ratio (conv BEFORE the
+    downsample — conv_after_downsample=False)."""
+
+    out_ch: int
+    ratio: float  # target_reduction / input_reduction
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        if self.ratio > 1:
+            steps = int(np.log2(self.ratio))
+            for _ in range(steps):
+                x = _maxpool2(x)
+        elif self.ratio < 1:
+            x = _upsample2(x, int(1 / self.ratio))
+        return x
+
+
+# bifpn_fa_config nodes (reference config/model_config.py:430-444),
+# reductions relative to base_reduction=8; offsets index the growing
+# feature list [P3, P4, P5, P6, P7, node0, node1, ...]
+_BIFPN_NODES = (
+    (64, (3, 4)), (32, (2, 5)), (16, (1, 6)), (8, (0, 7)),
+    (16, (1, 7, 8)), (32, (2, 6, 9)), (64, (3, 5, 10)), (128, (4, 11)),
+)
 
 
 class BiFPNLayer(nn.Module):
+    """BiFpnLayer (reference ``model.py:213-259``): eight fusion nodes over
+    the growing feature list, fast-attention weighting, swish ->
+    separable-conv(+BN) after each combine; emits the last five nodes."""
+
     width: int
+    reductions: tuple[int, ...]  # reduction of each incoming x entry
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats, train: bool):
-        """feats: list of 5 levels (P3..P7), all already at fpn width."""
-        n = len(feats)
-        norm = lambda nm: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, epsilon=1e-3,
-                                       dtype=self.dtype, name=nm)
-
-        def up(x):
-            b, h, w, c = x.shape
-            return jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-
-        def down(x):
-            return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-
-        # top-down pathway
-        td = [None] * n
-        td[n - 1] = feats[n - 1]
-        for i in range(n - 2, -1, -1):
-            fused = _fuse(f"w_td_{i}", self, [feats[i], up(td[i + 1])], self.dtype)
-            td[i] = norm(f"bn_td_{i}")(
-                SeparableConv(self.width, self.dtype, name=f"conv_td_{i}")(
-                    nn.swish(fused)
-                )
-            )
-        # bottom-up pathway
-        out = [None] * n
-        out[0] = td[0]
-        for i in range(1, n):
-            ins = [feats[i], td[i], down(out[i - 1])] if i < n - 1 else [
-                feats[i], down(out[i - 1])
-            ]
-            fused = _fuse(f"w_bu_{i}", self, ins, self.dtype)
-            out[i] = norm(f"bn_bu_{i}")(
-                SeparableConv(self.width, self.dtype, name=f"conv_bu_{i}")(
-                    nn.swish(fused)
-                )
-            )
-        return out
+        x = list(feats)
+        reds = list(self.reductions)
+        for ni, (target_red, offsets) in enumerate(_BIFPN_NODES):
+            nodes = []
+            for off in offsets:
+                r = Resample(self.width, target_red / reds[off], self.dtype,
+                             name=f"node{ni}_resample_{off}")
+                nodes.append(r(x[off], train))
+            w = self.param(f"node{ni}_weights", nn.initializers.ones,
+                           (len(offsets),), jnp.float32)
+            w = nn.relu(w)
+            fused = sum(wi * n for wi, n in zip(w, nodes)) / (jnp.sum(w) + 1e-4)
+            y = nn.swish(fused.astype(self.dtype))
+            y = SeparableConv(self.width, self.dtype,
+                              name=f"node{ni}_conv")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype,
+                             name=f"node{ni}_bn")(y)
+            x.append(y)
+            reds.append(target_red)
+        return x[-5:]
 
 
 class HeadNet(nn.Module):
-    """Class/box head shared across levels (per-level BN, shared convs)."""
+    """Class/box head (reference ``model.py:322-375``): shared separable
+    convs (no bias, no BN inside), per-level BN, swish; biased predict."""
 
     out_ch: int
     depth: int
@@ -155,12 +188,13 @@ class HeadNet(nn.Module):
     def __call__(self, feats, train: bool):
         convs = [SeparableConv(self.width, self.dtype, name=f"conv_{i}")
                  for i in range(self.depth)]
-        final = SeparableConv(self.out_ch, self.dtype, name="predict")
+        final = SeparableConv(self.out_ch, self.dtype, bias=True,
+                              name="predict")
         outs = []
         for lvl, x in enumerate(feats):
             for i, conv in enumerate(convs):
                 x = conv(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                  epsilon=1e-3, dtype=self.dtype,
                                  name=f"bn_{lvl}_{i}")(x)
                 x = nn.swish(x)
@@ -178,30 +212,25 @@ class EfficientDet(nn.Module):
         backbone = EfficientNet(EFFNET_ARCHS[cfg.backbone], dtype=self.dtype,
                                 features_only=True, name="backbone")
         feats = backbone(images, train)
-        levels = [feats["p3"], feats["p4"], feats["p5"]]
-        # lateral 1x1 to fpn width + P6/P7 via stride-2 pooling of P5
-        lat = []
-        for i, x in enumerate(levels):
-            x = nn.Conv(cfg.fpn_width, (1, 1), dtype=self.dtype,
-                        name=f"lateral_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-3, dtype=self.dtype,
-                             name=f"lateral_bn_{i}")(x)
-            lat.append(x)
-        p6 = nn.max_pool(lat[-1], (3, 3), strides=(2, 2), padding="SAME")
-        p7 = nn.max_pool(p6, (3, 3), strides=(2, 2), padding="SAME")
-        lat += [p6, p7]
+        x = [feats["p3"], feats["p4"], feats["p5"]]
+        # extra pyramid levels (reference BiFpn resample, model.py:269-291):
+        # P6 = conv+BN+pool of P5; P7 = pool of P6 (already fpn width)
+        p6 = Resample(cfg.fpn_width, 2.0, self.dtype, name="resample_p6")(
+            x[-1], train)
+        p7 = Resample(cfg.fpn_width, 2.0, self.dtype, name="resample_p7")(
+            p6, train)
+        x += [p6, p7]
 
+        reds = (8, 16, 32, 64, 128)
         for d in range(cfg.fpn_depth):
-            lat = BiFPNLayer(cfg.fpn_width, self.dtype, name=f"bifpn_{d}")(
-                lat, train
-            )
+            x = BiFPNLayer(cfg.fpn_width, reds, self.dtype,
+                           name=f"bifpn_{d}")(x, train)
 
         cls_outs = HeadNet(cfg.num_anchors * cfg.num_classes, cfg.head_depth,
                            cfg.fpn_width, cfg.num_levels, self.dtype,
-                           name="class_net")(lat, train)
+                           name="class_net")(x, train)
         box_outs = HeadNet(cfg.num_anchors * 4, cfg.head_depth, cfg.fpn_width,
-                           cfg.num_levels, self.dtype, name="box_net")(lat, train)
+                           cfg.num_levels, self.dtype, name="box_net")(x, train)
 
         b = images.shape[0]
         cls = jnp.concatenate(

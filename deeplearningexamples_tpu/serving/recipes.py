@@ -137,8 +137,7 @@ def tft_endpoint(
     covariate windows -> per-quantile horizon predictions."""
     cfg = task.cfg
 
-    infer = jax.jit(lambda obs, known: task.model.apply(
-        {"params": params}, obs, known, deterministic=True))
+    infer = jax.jit(lambda obs, known: task.predict_fn(params, obs, known))
 
     def fn(batch):
         return {"quantiles": infer(

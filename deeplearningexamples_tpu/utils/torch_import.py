@@ -38,6 +38,7 @@ __all__ = [
     "convert_efficientnet",
     "convert_moflow",
     "convert_brats_unet3d",
+    "convert_efficientdet_d0",
 ]
 
 
@@ -978,3 +979,106 @@ def convert_brats_unet3d(sd: Mapping[str, np.ndarray], n_levels: int
                 "bias": sd[f"deep_supervision_heads.{j}.conv.bias"],
             }
     return params
+
+
+def convert_efficientdet_d0(sd: Mapping[str, np.ndarray], num_repeat,
+                            expansion, fpn_cell_repeats: int = 3,
+                            head_repeats: int = 3, num_levels: int = 5
+                            ) -> tuple[dict, dict]:
+    """Reference EfficientDet state_dict (``Detection/Efficientdet/effdet/
+    model.py:464-506`` with its own backbone ``efficientnet.py``) ->
+    (params, batch_stats) for ``models/efficientdet.EfficientDet``.
+    The reference flattens MBConv blocks; ``num_repeat`` recovers our
+    stage{s}_{j} naming."""
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+                {"mean": sd[f"{prefix}.running_mean"],
+                 "var": sd[f"{prefix}.running_var"]})
+
+    # ---- backbone (flat mbconv_blocks.{i} -> stage{s}_{j}) ----
+    bb_p: dict = {"stem_conv": {"kernel": _conv(sd["backbone.input_conv.0.weight"])}}
+    bb_s: dict = {}
+    bb_p["stem_bn"], bb_s["stem_bn"] = bn("backbone.input_conv.1")
+    flat = 0
+    for si, (r, e) in enumerate(zip(num_repeat, expansion)):
+        for j in range(r):
+            src = f"backbone.mbconv_blocks.{flat}"
+            blk_p: dict = {}
+            blk_s: dict = {}
+            if e != 1:
+                blk_p["expand_conv"] = {
+                    "kernel": _conv(sd[f"{src}.expand_conv.0.weight"])}
+                blk_p["expand_bn"], blk_s["expand_bn"] = bn(f"{src}.expand_conv.1")
+            blk_p["depthwise_conv"] = {
+                "kernel": _conv(sd[f"{src}.depthwise_conv.0.weight"])}
+            blk_p["depthwise_bn"], blk_s["depthwise_bn"] = bn(
+                f"{src}.depthwise_conv.1")
+            blk_p["se"] = {
+                "squeeze": {"kernel": _dense(sd[f"{src}.squeeze_and_excitation.squeeze.weight"]),
+                            "bias": sd[f"{src}.squeeze_and_excitation.squeeze.bias"]},
+                "expand": {"kernel": _dense(sd[f"{src}.squeeze_and_excitation.expand.weight"]),
+                           "bias": sd[f"{src}.squeeze_and_excitation.expand.bias"]},
+            }
+            blk_p["project_conv"] = {
+                "kernel": _conv(sd[f"{src}.project_conv.0.weight"])}
+            blk_p["project_bn"], blk_s["project_bn"] = bn(f"{src}.project_conv.1")
+            bb_p[f"stage{si}_{j}"], bb_s[f"stage{si}_{j}"] = blk_p, blk_s
+            flat += 1
+    params["backbone"], stats["backbone"] = bb_p, bb_s
+
+    # ---- extra pyramid level resamples (module-dict keyed by LEVEL:
+    # resample.3 = P6 with conv+bn, resample.4 = P7 pool-only) ----
+    params["resample_p6"] = {
+        "conv": {"kernel": _conv(sd["fpn.resample.3.conv.conv.weight"])}}
+    p, s = bn("fpn.resample.3.conv.bn")
+    params["resample_p6"]["bn"] = p
+    stats["resample_p6"] = {"bn": s}
+
+    # ---- BiFPN cells ----
+    for rep in range(fpn_cell_repeats):
+        cell_p: dict = {}
+        cell_s: dict = {}
+        for ni in range(8):
+            src = f"fpn.cell.{rep}.fnode.{ni}"
+            cell_p[f"node{ni}_weights"] = sd[f"{src}.combine.edge_weights"]
+            for key in sd:
+                pre = f"{src}.combine.resample."
+                if key.startswith(pre) and key.endswith(".conv.conv.weight"):
+                    off = key[len(pre):].split(".")[0]
+                    rp: dict = {"conv": {"kernel": _conv(sd[key])}}
+                    bp, bs = bn(f"{pre}{off}.conv.bn")
+                    rp["bn"] = bp
+                    cell_p[f"node{ni}_resample_{off}"] = rp
+                    cell_s[f"node{ni}_resample_{off}"] = {"bn": bs}
+            cell_p[f"node{ni}_conv"] = {
+                "dw": {"kernel": _conv(sd[f"{src}.after_combine.conv.conv_dw.weight"])},
+                "pw": {"kernel": _conv(sd[f"{src}.after_combine.conv.conv_pw.weight"])},
+            }
+            bp, bs = bn(f"{src}.after_combine.conv.bn")
+            cell_p[f"node{ni}_bn"] = bp
+            cell_s[f"node{ni}_bn"] = bs
+        params[f"bifpn_{rep}"], stats[f"bifpn_{rep}"] = cell_p, cell_s
+
+    # ---- heads ----
+    for net in ("class_net", "box_net"):
+        hp: dict = {}
+        hs: dict = {}
+        for i in range(head_repeats):
+            hp[f"conv_{i}"] = {
+                "dw": {"kernel": _conv(sd[f"{net}.conv_rep.{i}.conv_dw.weight"])},
+                "pw": {"kernel": _conv(sd[f"{net}.conv_rep.{i}.conv_pw.weight"])},
+            }
+            for lvl in range(num_levels):
+                bp, bs = bn(f"{net}.bn_rep.{i}.{lvl}.bn")
+                hp[f"bn_{lvl}_{i}"] = bp
+                hs[f"bn_{lvl}_{i}"] = bs
+        hp["predict"] = {
+            "dw": {"kernel": _conv(sd[f"{net}.predict.conv_dw.weight"])},
+            "pw": {"kernel": _conv(sd[f"{net}.predict.conv_pw.weight"]),
+                   "bias": sd[f"{net}.predict.conv_pw.bias"]},
+        }
+        params[net], stats[net] = hp, hs
+    return params, stats

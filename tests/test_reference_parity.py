@@ -1171,3 +1171,84 @@ def test_brats_unet3d_forward_parity():
     np.testing.assert_allclose(
         np.asarray(ours), np.transpose(ref_out, (0, 2, 3, 4, 1)),
         atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# EfficientDet-D0 — Detection/Efficientdet/effdet/{model,efficientnet}.py
+# ---------------------------------------------------------------------------
+
+
+def test_efficientdet_d0_forward_parity():
+    """Full reference EfficientDet-D0 (seeded, eval, randomized BN stats) ->
+    convert_efficientdet_d0 -> our EfficientDet must reproduce per-level
+    class and box head outputs."""
+    if "omegaconf" not in sys.modules:  # config/model_config.py wants it
+        class _NS(dict):
+            def __getattr__(self, k):  # lenient: absent keys read as None
+                return self.get(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        om = types.ModuleType("omegaconf")
+
+        class OmegaConf:
+            @staticmethod
+            def create(*a, **k):
+                return _NS()
+
+        om.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = om
+    if "effdet_ext" not in sys.modules:  # compiled NMS ext (unused here)
+        ext = types.ModuleType("effdet_ext")
+        ext_c = types.ModuleType("effdet_ext._C")
+        ext_c.nms = None
+        ext._C = ext_c
+        sys.modules["effdet_ext"] = ext
+        sys.modules["effdet_ext._C"] = ext_c
+    root = REF + "/Detection/Efficientdet"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    from effdet.config.model_config import get_efficientdet_config
+    from effdet.model import EfficientDet as RefEffDet
+
+    from deeplearningexamples_tpu.models.efficientdet import (
+        EfficientDet, EfficientDetConfig,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_efficientdet_d0,
+    )
+
+    seed_all(0)
+    config = get_efficientdet_config("efficientdet_d0")
+    config.num_classes = 11
+    config.image_size = 128
+    ref = RefEffDet(config).eval()
+    randomize_bn_stats(ref)
+
+    cfg = EfficientDetConfig(num_classes=11, image_size=128)
+    model = EfficientDet(cfg, dtype=jnp.float32)
+    params, stats = convert_efficientdet_d0(
+        sd_numpy(ref), num_repeat=[1, 2, 2, 3, 3, 4, 1],
+        expansion=[1, 6, 6, 6, 6, 6, 6])
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_cls, ref_box = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    cls, box = model.apply({"params": params, "batch_stats": stats},
+                           jnp.asarray(x), train=False)
+    # compare per level in NHWC raw head layout (B, H, W, A*C)
+    a_off = 0
+    for lvl in range(5):
+        rc = ref_cls[lvl].numpy().transpose(0, 2, 3, 1)  # (B, H, W, A*C)
+        rb = ref_box[lvl].numpy().transpose(0, 2, 3, 1)
+        n = rc.shape[1] * rc.shape[2] * cfg.num_anchors
+        np.testing.assert_allclose(
+            np.asarray(cls)[:, a_off:a_off + n].reshape(rc.shape[0], rc.shape[1],
+                                                        rc.shape[2], -1),
+            rc, atol=1e-3, rtol=1e-3, err_msg=f"class level {lvl}")
+        np.testing.assert_allclose(
+            np.asarray(box)[:, a_off:a_off + n].reshape(rb.shape),
+            rb, atol=1e-3, rtol=1e-3, err_msg=f"box level {lvl}")
+        a_off += n
