@@ -333,7 +333,11 @@ def run_bert_pretrain(cfg: BertCliConfig) -> None:
     total = cfg.epochs * len(loader)
     sched = opt.lr_poly_warmup(cfg.lr, max(total // 100, 1), total)
     mdt = jnp.bfloat16 if cfg.lamb_moments == "bf16" else jnp.float32
-    tx = lamb(sched, weight_decay=cfg.weight_decay or 0.01, moment_dtype=mdt)
+    # reference no-decay group (run_pretraining.py:423-427): bias/gamma/beta/
+    # LayerNorm = exactly the 1-D params here; with use_nvlamb=False those
+    # also take a plain-lr step (no trust ratio) — see ops/lamb.py
+    tx = lamb(sched, weight_decay=cfg.weight_decay or 0.01, moment_dtype=mdt,
+              mask=jax.tree_util.tree_map(lambda p: p.ndim > 1, params))
     if cfg.phase1_ckpt:
         # phase2 chaining (reference --phase1_end_step/init_checkpoint,
         # run_pretraining.py:430-445): carry params over, FRESH optimizer and
@@ -392,6 +396,22 @@ class SquadCliConfig(CommonConfig):
     # SQuAD v2 (reference --version_2_with_negative + --null_score_diff_threshold)
     version_2_with_negative: bool = False
     null_score_diff_threshold: float = 0.0
+    # bert_adam = the reference's fp32 BertAdam (optimization.py:64, parity-
+    # tested); adamw = the FusedAdam/amp-equivalent path
+    optimizer: str = "bert_adam"
+
+
+def _bert_finetune_tx(optimizer: str, lr: float, total: int, params,
+                      warmup: float = 0.1):
+    """Fine-tune optimizer per the reference recipe: ``BertAdam`` with
+    warmup_linear (no bias correction, per-param clip) in the fp32 path, or
+    AdamW + linear warmup/decay matching the fp16 FusedAdam path."""
+    if optimizer == "bert_adam":
+        mask = jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+        return opt.bert_adam(lr, warmup=warmup, t_total=total, mask=mask)
+    sched = opt.lr_poly_warmup(lr, max(int(total * warmup), 1), total,
+                               power=1.0)
+    return optax.adamw(sched, weight_decay=0.01)
 
 
 @dataclasses.dataclass
@@ -401,6 +421,7 @@ class GlueCliConfig(CommonConfig):
     max_seq_length: int = 128
     vocab_file: str = ""
     init_checkpoint: str = ""  # torch BERT checkpoint to fine-tune from
+    optimizer: str = "bert_adam"  # reference run_glue.py fp32 path
 
 
 # TSV column layouts per task (reference run_glue.py processors)
@@ -477,9 +498,7 @@ def run_bert_glue(cfg: GlueCliConfig) -> None:
 
     loader = batches(train, cfg.batch_size, shuffle_seed=cfg.seed)
     total = cfg.epochs * len(loader)
-    sched = opt.lr_poly_warmup(cfg.lr or 2e-5, max(total // 10, 1), total,
-                               power=1.0)
-    tx = optax.adamw(sched, weight_decay=0.01)
+    tx = _bert_finetune_tx(cfg.optimizer, cfg.lr or 2e-5, total, params)
     state = create_train_state(params, tx, _train_key(cfg), mstate)
     ckpt = CheckpointManager(f"{cfg.workspace}/bert_glue_ckpt")
     state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
@@ -513,6 +532,7 @@ class SwagCliConfig(CommonConfig):
     max_seq_length: int = 128
     vocab_file: str = ""
     init_checkpoint: str = ""
+    optimizer: str = "bert_adam"  # reference run_swag.py fp32 path
 
 
 def run_bert_swag(cfg: SwagCliConfig) -> None:
@@ -620,9 +640,7 @@ def run_bert_swag(cfg: SwagCliConfig) -> None:
 
     loader = batches(train, cfg.batch_size)
     total = cfg.epochs * len(loader)
-    sched = opt.lr_poly_warmup(cfg.lr or 2e-5, max(total // 10, 1), total,
-                               power=1.0)
-    tx = optax.adamw(sched, weight_decay=0.01)
+    tx = _bert_finetune_tx(cfg.optimizer, cfg.lr or 2e-5, total, params)
     state = create_train_state(params, tx, _train_key(cfg), {})
     ckpt = CheckpointManager(f"{cfg.workspace}/bert_swag_ckpt")
     state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))
@@ -735,8 +753,7 @@ def run_bert_squad(cfg: SquadCliConfig) -> None:
 
         watch, watch_mode = "f1", "max"
     total = cfg.epochs * len(loader)
-    sched = opt.lr_poly_warmup(cfg.lr or 3e-5, int(total * 0.1), total, power=1.0)
-    tx = optax.adamw(sched, weight_decay=0.01)
+    tx = _bert_finetune_tx(cfg.optimizer, cfg.lr or 3e-5, total, params)
     state = create_train_state(params, tx, _train_key(cfg), mstate)
     ckpt = CheckpointManager(f"{cfg.workspace}/bert_squad_ckpt")
     state, start_epoch = _maybe_resume(cfg, ckpt, state, len(loader))

@@ -232,7 +232,11 @@ def _flat_lamb_update(g2, p2, m2, v2, wd_leaf, seg_ids, hyp,
 
     w_norm = jnp.sqrt(wsq)
     u_norm = jnp.sqrt(usq)
-    ratio = jnp.where((w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0)
+    # LAMBStage2Functor gating (multi_tensor_lamb.cu:276-283): use_nvlamb is
+    # False in the reference recipe, so no-decay leaves take a plain-lr step
+    ratio = jnp.where(
+        (wd_leaf > 0) & (w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0
+    )
     scale_leaf = lr * ratio  # (n_leaves,)
 
     p_new = pl.pallas_call(
@@ -300,8 +304,9 @@ def flat_lamb(
         cf = count.astype(jnp.float32)
         lr = learning_rate(count) if callable(learning_rate) else learning_rate
         if grad_clip_norm:
+            # fused_lamb.py semantics: g /= max(1, gnorm/max_norm) — no eps
             gnorm = jnp.sqrt(jnp.sum(flat_g.astype(jnp.float32) ** 2))
-            cs = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-6))
+            cs = jnp.where(gnorm > grad_clip_norm, grad_clip_norm / gnorm, 1.0)
         else:
             cs = jnp.float32(1.0)
         hyp = jnp.stack([

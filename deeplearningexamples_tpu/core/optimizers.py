@@ -17,7 +17,7 @@ epoch)`` calls.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ import optax
 __all__ = [
     "sgd",
     "rmsprop",
+    "bert_adam",
     "no_decay_mask",
     "lr_step_policy",
     "lr_linear_policy",
@@ -98,11 +99,97 @@ def rmsprop(
     if weight_decay:
         mask = None if params_for_mask is None else no_decay_mask(params_for_mask)
         chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
-    chain.append(optax.scale_by_rms(decay=alpha, eps=eps))
+    # eps_in_sqrt=False: torch.optim.RMSprop adds eps OUTSIDE the sqrt
+    # (avg = sqrt(v) + eps); with the recipe's eps=1e-3 the placement is a
+    # real numerical difference early in training (tests/test_optimizer_parity).
+    chain.append(optax.scale_by_rms(decay=alpha, eps=eps, eps_in_sqrt=False))
     if momentum:
         chain.append(optax.trace(decay=momentum))
     chain.append(optax.scale_by_learning_rate(lr))
     return optax.chain(*chain)
+
+
+class _BertAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def bert_adam(
+    lr: float,
+    warmup: float = -1.0,
+    t_total: int = -1,
+    schedule: str = "warmup_linear",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    max_grad_norm: float = 1.0,
+    mask: Any | None = None,
+) -> optax.GradientTransformation:
+    """``BertAdam`` (reference ``BERT/optimization.py:64-176``): Adam with NO
+    bias correction, decoupled weight decay, PER-PARAMETER grad-norm clipping
+    (``clip_grad_norm_(p, ...)`` inside the param loop, :145-146), and the
+    warmup schedule evaluated at the PRE-increment step count (:166-168 uses
+    ``state['step']`` before :174 increments it → the very first update is
+    scaled by ``schedule(0)``, which is 0 for ``warmup_linear``). Used by the
+    reference SQuAD/GLUE/SWAG fine-tune runners in fp32 mode
+    (``run_squad.py:986``). Trajectory-parity-tested against the imported
+    reference optimizer in ``tests/test_optimizer_parity.py``.
+    """
+
+    def sched_mult(step_f):
+        x = step_f / t_total
+        if schedule == "warmup_linear":
+            w = jnp.maximum((x - 1.0) / (warmup - 1.0), 0.0)
+        elif schedule == "warmup_constant":
+            w = 1.0
+        elif schedule == "warmup_poly":
+            w = (1.0 - x) ** 0.5
+        elif schedule == "warmup_cosine":
+            w = 0.5 * (1.0 + jnp.cos(jnp.pi * x))
+        else:
+            raise ValueError(f"unknown schedule {schedule}")
+        return jnp.where(x < warmup, x / warmup, w)
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _BertAdamState(jnp.zeros((), jnp.int32), z,
+                              jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        wd_tree = (
+            mask if mask is not None
+            else jax.tree_util.tree_map(lambda _: True, params)
+        )
+        lr_t = lr * sched_mult(state.count.astype(jnp.float32)) \
+            if t_total != -1 else lr
+
+        def upd(g, m, v, p, use_wd):
+            g = g.astype(jnp.float32)
+            if max_grad_norm > 0:
+                # torch clip_grad_norm_ per tensor: coef = max/(norm+1e-6),
+                # applied iff coef < 1
+                coef = max_grad_norm / (jnp.linalg.norm(g) + 1e-6)
+                g = g * jnp.minimum(coef, 1.0)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            u = m / (jnp.sqrt(v) + eps)  # no bias correction — by design
+            if weight_decay > 0:
+                u = u + jnp.where(use_wd, weight_decay, 0.0) * p.astype(jnp.float32)
+            return (-(lr_t * u)).astype(p.dtype), m, v
+
+        out = jax.tree_util.tree_map(upd, grads, state.mu, state.nu, params,
+                                     wd_tree)
+        updates = jax.tree_util.tree_map(lambda t: t[0], out,
+                                         is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree_util.tree_map(lambda t: t[1], out,
+                                    is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree_util.tree_map(lambda t: t[2], out,
+                                    is_leaf=lambda x: isinstance(x, tuple))
+        return updates, _BertAdamState(state.count + 1, mu, nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 # ---------------------------------------------------------------------------

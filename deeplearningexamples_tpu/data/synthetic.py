@@ -113,6 +113,16 @@ class SyntheticDlrmLoader(_Synthetic):
 
     Mirrors ``SyntheticDataset`` (``dlrm/data/datasets.py:32``) driven by a
     feature-spec-style cardinality list.
+
+    ``skew``: index distribution. ``"uniform"`` matches the reference's
+    synthetic dataset (``torch.randint``); ``"zipf"`` draws from a power law
+    with exponent ``zipf_a``, matching real Criteo's access profile — the
+    reference's frequency-threshold preprocessing (``DLRM/preproc/``, which
+    remaps IDs by descending frequency) implies a Zipf-like head; the A100
+    baseline (``DLRM/README.md:923``) was measured on real Criteo whose hot
+    rows live in GPU L2, so the uniform draw is the WORST case for a cache
+    and understates comparable throughput. Both modes are benchmarked
+    (``bench.py`` dlrm extras).
     """
 
     def __init__(
@@ -122,18 +132,32 @@ class SyntheticDlrmLoader(_Synthetic):
         num_numerical: int = 13,
         steps: int = 100,
         seed: int = 0,
+        skew: str = "uniform",
+        zipf_a: float = 1.15,
     ):
         super().__init__(steps)
         self.batch_size = batch_size
         self.cards = list(categorical_cardinalities)
         self.num_numerical = num_numerical
         self.rng = np.random.default_rng(seed)
+        if skew not in ("uniform", "zipf"):
+            raise ValueError(f"unknown skew {skew!r}")
+        self.skew = skew
+        self.zipf_a = zipf_a
+
+    def _draw_indices(self, card: int, n: int) -> np.ndarray:
+        if self.skew == "uniform":
+            return self.rng.integers(0, card, size=(n,))
+        # Zipf over ranks 1..card via inverse-CDF on the truncated power law;
+        # frequency-ranked IDs (rank 0 hottest) match the preproc's remap
+        z = self.rng.zipf(self.zipf_a, size=(n,))
+        return np.minimum(z - 1, card - 1)
 
     def _make(self):
         b = self.batch_size
         numerical = self.rng.normal(size=(b, self.num_numerical)).astype(np.float32)
         categorical = np.stack(
-            [self.rng.integers(0, c, size=(b,)) for c in self.cards], axis=1
+            [self._draw_indices(c, b) for c in self.cards], axis=1
         ).astype(np.int32)
         label = self.rng.integers(0, 2, size=(b,)).astype(np.float32)
         return {"numerical": numerical, "categorical": categorical, "label": label}

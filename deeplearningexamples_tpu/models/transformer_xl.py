@@ -58,8 +58,14 @@ class RelAttention(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, mem, rel_pos_emb, deterministic):
-        """x (B, T, D); mem (B, M, D) gradient-stopped previous hiddens."""
+    def __call__(self, x, mem, rel_pos_emb, u, w, mem_valid, deterministic):
+        """x (B, T, D); mem (B, M, D) gradient-stopped previous hiddens.
+        ``u``/``w``: the GLOBAL content/position biases (r_w_bias/r_r_bias,
+        shared across layers — ``mem_transformer.py:611-613``).
+        ``mem_valid``: number of valid TRAILING mem positions — static-shape
+        stand-in for the reference's growing ``mems`` (zero-filled leading
+        slots are masked out of the softmax, so segment 1 matches the
+        reference's empty-mems attention exactly)."""
         cfg = self.cfg
         h, dh = cfg.n_heads, cfg.d_head
         b, t, _ = x.shape
@@ -73,9 +79,6 @@ class RelAttention(nn.Module):
             rel_pos_emb[:klen]
         )  # (klen, h*dh)
 
-        u = self.param("u", nn.initializers.normal(0.02), (h, dh))
-        w = self.param("v_bias", nn.initializers.normal(0.02), (h, dh))
-
         qh = q.reshape(b, t, h, dh)
         kh = k.reshape(b, klen, h, dh)
         vh = v.reshape(b, klen, h, dh)
@@ -88,10 +91,12 @@ class RelAttention(nn.Module):
         bd = _rel_shift(bd)
         scores = (ac + bd) / np.sqrt(dh)
 
-        # causal mask over the concatenated context
+        # causal mask over the concatenated context; unfilled mem slots
+        # (kpos < mem_len - mem_valid) are masked like absent columns
         qpos = jnp.arange(t)[:, None] + (klen - t)
         kpos = jnp.arange(klen)[None, :]
-        scores = jnp.where(qpos >= kpos, scores, -1e9)
+        keep = (qpos >= kpos) & (kpos >= (klen - t) - mem_valid)
+        scores = jnp.where(keep, scores, -1e9)
         p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         p = RegenDropout(cfg.dropout)(p, deterministic=deterministic)
         out = jnp.einsum("bhtk,bkhd->bthd", p, vh).reshape(b, t, h * dh)
@@ -105,10 +110,10 @@ class XLLayer(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, mem, rel_pos_emb, deterministic):
+    def __call__(self, x, mem, rel_pos_emb, u, w, mem_valid, deterministic):
         cfg = self.cfg
         a = RelAttention(cfg, self.dtype, name="attn")(
-            x, mem, rel_pos_emb, deterministic
+            x, mem, rel_pos_emb, u, w, mem_valid, deterministic
         )
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + a)
         y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(x)
@@ -135,9 +140,24 @@ class TransformerXL(nn.Module):
         self.layers = [XLLayer(cfg, self.dtype, name=f"layer_{i}")
                        for i in range(cfg.n_layers)]
         self.drop = RegenDropout(cfg.dropout)
+        # global content/position biases shared by all layers (the reference
+        # default attn_type=0, mem_transformer.py:611-613; zero-init there)
+        self.r_w_bias = self.param(
+            "r_w_bias", nn.initializers.normal(0.02),
+            (cfg.n_heads, cfg.d_head))
+        self.r_r_bias = self.param(
+            "r_r_bias", nn.initializers.normal(0.02),
+            (cfg.n_heads, cfg.d_head))
+        # tied-softmax output bias (ProjectedAdaptiveLogSoftmax out_layers
+        # bias, untied and zero-init — mem_transformer.py crit)
+        self.softmax_bias = self.param(
+            "softmax_bias", nn.initializers.zeros, (cfg.padded_vocab,))
 
-    def __call__(self, tokens, mems=None, deterministic: bool = True):
+    def __call__(self, tokens, mems=None, mem_valid=None,
+                 deterministic: bool = True):
         """tokens (B, T). mems: list of per-layer (B, M, D) or None.
+        ``mem_valid``: count of valid trailing mem positions (0 when mems is
+        None, i.e. a fresh sequence; defaults to mem_len for given mems).
         Returns (logits (B, T, V), new_mems)."""
         cfg = self.cfg
         b, t = tokens.shape
@@ -146,8 +166,17 @@ class TransformerXL(nn.Module):
                 jnp.zeros((b, cfg.mem_len, cfg.d_model), self.dtype)
                 for _ in range(cfg.n_layers)
             ]
-        x = self.drop(self.embed(tokens), deterministic=deterministic)
+            if mem_valid is None:
+                mem_valid = 0
+        if mem_valid is None:
+            mem_valid = cfg.mem_len
+        # embeddings scaled by sqrt(d_model) (AdaptiveEmbedding.emb_scale,
+        # mem_transformer.py:465,511)
+        x = self.drop(self.embed(tokens) * float(np.sqrt(cfg.d_model)),
+                      deterministic=deterministic)
         rel = self.rel_pos_emb.astype(self.dtype)
+        u = self.r_w_bias.astype(self.dtype)
+        w = self.r_r_bias.astype(self.dtype)
         new_mems = []
         for layer, mem in zip(self.layers, mems):
             # memory for the NEXT segment = last mem_len hiddens entering
@@ -157,11 +186,11 @@ class TransformerXL(nn.Module):
                     jnp.concatenate([mem, x], axis=1)[:, -cfg.mem_len:]
                 )
             )
-            x = layer(x, mem, rel, deterministic)
+            x = layer(x, mem, rel, u, w, mem_valid, deterministic)
         logits = jax.lax.dot_general(
             x, self.embed.embedding.astype(self.dtype),
             (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+        ) + self.softmax_bias
         return logits, new_mems
 
 
@@ -181,10 +210,12 @@ class TransformerXLTask:
         )["params"], {}
 
     def loss_fn(self, params, model_state, batch, rng):
-        """batch: tokens (B, T), targets (B, T), mems in model_state."""
+        """batch: tokens (B, T), targets (B, T); mems + valid-count carried
+        in model_state (the reference's growing ``mems``, static-shaped)."""
         mems = model_state.get("mems")
+        mem_valid = model_state.get("mem_valid", 0 if mems is None else None)
         logits, new_mems = self.model.apply(
-            {"params": params}, batch["tokens"], mems,
+            {"params": params}, batch["tokens"], mems, mem_valid,
             deterministic=False, rngs={"dropout": rng},
         )
         loss = jnp.mean(
@@ -192,4 +223,10 @@ class TransformerXLTask:
                 logits, batch["targets"]
             )
         )
-        return loss, ({"mems": new_mems}, {"ppl_proxy": loss})
+        prev_valid = mem_valid if mem_valid is not None else self.cfg.mem_len
+        new_valid = jnp.minimum(
+            jnp.asarray(prev_valid, jnp.int32) + batch["tokens"].shape[1],
+            self.cfg.mem_len,
+        )
+        return loss, ({"mems": new_mems, "mem_valid": new_valid},
+                      {"ppl_proxy": loss})

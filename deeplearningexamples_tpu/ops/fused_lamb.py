@@ -167,7 +167,11 @@ def _fused_update(flat_g, flat_p, flat_m, flat_v, wd_leaf, seg_ids,
 
     w_norm = jnp.sqrt(wsq)
     u_norm = jnp.sqrt(usq)
-    ratio = jnp.where((w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0)
+    # LAMBStage2Functor (multi_tensor_lamb.cu:276-283): with use_nvlamb=False
+    # the trust ratio applies only to tensors with nonzero weight decay.
+    ratio = jnp.where(
+        (wd_leaf > 0) & (w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0
+    )
     scale_leaf = lr * ratio  # (n_leaves,)
 
     new_p = pl.pallas_call(
@@ -224,8 +228,9 @@ def fused_lamb(
         assert params is not None, "fused_lamb requires params"
         layout = layout_holder["layout"]
         if grad_clip_norm:
+            # fused_lamb.py:79 semantics: g /= max(1, gnorm/max_norm) — no eps
             gnorm = optax.global_norm(grads)
-            factor = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-6))
+            factor = jnp.where(gnorm > grad_clip_norm, grad_clip_norm / gnorm, 1.0)
             grads = jax.tree_util.tree_map(lambda g: g * factor, grads)
         count = state.count + 1
         cf = count.astype(jnp.float32)

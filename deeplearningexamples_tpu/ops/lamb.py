@@ -19,6 +19,15 @@ preserved is the *math*:
 plus the reference's pre-step global-gradient-norm clipping
 (``multi_tensor_l2norm`` + grad_pre_div) which we implement with
 ``optax.clip_by_global_norm`` (a single fused reduction under XLA).
+
+Trust-ratio gating matches ``LAMBStage2Functor`` exactly
+(``multi_tensor_lamb.cu:276-283``): with ``use_nvlamb=False`` (the
+``FusedLAMBAMP`` default used by ``run_pretraining.py:429``) the adaptive
+ratio applies ONLY to tensors with nonzero weight decay — the no-decay
+group (bias/gamma/beta/LayerNorm, ``run_pretraining.py:423-427``) takes a
+plain ``lr`` step. ``use_nvlamb=True`` applies the ratio everywhere.
+The update math is verified step-for-step against a numpy transcription
+of the CUDA kernel in ``tests/test_optimizer_parity.py``.
 """
 
 from __future__ import annotations
@@ -40,7 +49,7 @@ class ScaleByLambState(NamedTuple):
 
 def _scale_by_lamb(
     b1: float, b2: float, eps: float, weight_decay: float, mask: Any | None,
-    moment_dtype: Any = jnp.float32,
+    moment_dtype: Any = jnp.float32, use_nvlamb: bool = False,
 ) -> optax.GradientTransformation:
     """``moment_dtype=bfloat16`` halves optimizer-state HBM (2.7GB for
     BERT-Large) and its read/write traffic; the update math stays fp32
@@ -81,13 +90,18 @@ def _scale_by_lamb(
             m = m.astype(jnp.float32)
             v = v.astype(jnp.float32)
             u = (m / c1) / (jnp.sqrt(v / c2) + eps)
-            if weight_decay:
-                u = u + jnp.where(use_wd, weight_decay, 0.0) * p.astype(jnp.float32)
+            decay_here = weight_decay if (weight_decay and use_wd) else 0.0
+            if decay_here:
+                u = u + decay_here * p.astype(jnp.float32)
             w_norm = jnp.linalg.norm(p.astype(jnp.float32))
             u_norm = jnp.linalg.norm(u)
-            ratio = jnp.where(
-                (w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0
-            )
+            # cu:276-283 — ratio only where use_nvlamb or decay != 0
+            if use_nvlamb or decay_here:
+                ratio = jnp.where(
+                    (w_norm > 0) & (u_norm > 0), w_norm / u_norm, 1.0
+                )
+            else:
+                ratio = 1.0
             return (-ratio * u).astype(p.dtype)  # note: lr applied downstream
 
         updates = jax.tree_util.tree_map(upd, mu, nu, params, wd_tree)
@@ -105,12 +119,20 @@ def lamb(
     mask: Any | None = None,
     grad_clip_norm: float | None = 1.0,
     moment_dtype: Any = jnp.float32,
+    use_nvlamb: bool = False,
 ) -> optax.GradientTransformation:
-    """NVLAMB: global-norm grad clip → LAMB trust-ratio update → lr."""
+    """NVLAMB: global-norm grad clip → LAMB trust-ratio update → lr.
+
+    ``mask``: True where weight decay (and hence, with ``use_nvlamb=False``,
+    the trust ratio) applies — the reference recipe excludes
+    bias/gamma/beta/LayerNorm (``run_pretraining.py:423-427``).
+    """
     chain = []
     if grad_clip_norm:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    chain.append(_scale_by_lamb(b1, b2, eps, weight_decay, mask, moment_dtype))
+    chain.append(
+        _scale_by_lamb(b1, b2, eps, weight_decay, mask, moment_dtype, use_nvlamb)
+    )
     # updates already carry the negative sign; scale by +lr
     lr = learning_rate
     if callable(lr):

@@ -39,6 +39,7 @@ __all__ = [
     "convert_moflow",
     "convert_brats_unet3d",
     "convert_efficientdet_d0",
+    "convert_transformer_xl",
 ]
 
 
@@ -201,7 +202,11 @@ def _conv1d(w: np.ndarray) -> np.ndarray:
 
 def _wn_fold(sd: Mapping[str, np.ndarray], prefix: str) -> np.ndarray:
     """Fold torch ``weight_norm`` (weight_g, weight_v) into an effective
-    Conv1d weight: w = g * v / ||v||, norm over (in, k) per output channel."""
+    Conv1d weight: w = g * v / ||v||, norm over (in, k) per output channel.
+    Checkpoints saved after ``remove_weight_norm`` (the reference's inference
+    export path) carry a plain ``.weight`` instead — pass it through."""
+    if f"{prefix}.weight_g" not in sd:
+        return sd[f"{prefix}.weight"]
     g = sd[f"{prefix}.weight_g"]
     v = sd[f"{prefix}.weight_v"]
     norm = np.sqrt((v * v).sum(axis=(1, 2), keepdims=True))
@@ -1082,3 +1087,57 @@ def convert_efficientdet_d0(sd: Mapping[str, np.ndarray], num_repeat,
         }
         params[net], stats[net] = hp, hs
     return params, stats
+
+
+def convert_transformer_xl(
+    sd: Mapping[str, np.ndarray], n_layers: int, padded_vocab: int
+) -> dict:
+    """Reference ``MemTransformerLM`` state_dict (``Transformer-XL/pytorch/
+    mem_transformer.py:516``, attn_type=0, div_val=1, no cutoffs) ->
+    ``models/transformer_xl.TransformerXL`` params.
+
+    The fused ``qkv_net`` (3*h*dh rows) splits into our separate q/k/v
+    Denses; ``r_w_bias``/``r_r_bias`` are the global biases; the tied
+    softmax's untied bias maps to ``softmax_bias`` (vocab rows padded)."""
+    emb = sd["word_emb.emb_layers.0.weight"]
+    emb_p = np.zeros((padded_vocab, emb.shape[1]), emb.dtype)
+    emb_p[: emb.shape[0]] = emb
+    bias = sd["crit.out_layers_biases.0"]
+    bias_p = np.zeros((padded_vocab,), bias.dtype)
+    bias_p[: bias.shape[0]] = bias
+    params: dict = {
+        "embed": {"embedding": emb_p},
+        "r_w_bias": sd["r_w_bias"],
+        "r_r_bias": sd["r_r_bias"],
+        "softmax_bias": bias_p,
+    }
+    for i in range(n_layers):
+        src = f"layers.{i}"
+        qkv = sd[f"{src}.dec_attn.qkv_net.weight"]  # (3*h*dh, d)
+        n = qkv.shape[0] // 3
+        params[f"layer_{i}"] = {
+            "attn": {
+                "q": {"kernel": _dense(qkv[:n])},
+                "k": {"kernel": _dense(qkv[n:2 * n])},
+                "v": {"kernel": _dense(qkv[2 * n:])},
+                "r": {"kernel": _dense(sd[f"{src}.dec_attn.r_net.weight"])},
+                "o": {"kernel": _dense(sd[f"{src}.dec_attn.o_net.weight"])},
+            },
+            "ln1": {
+                "scale": sd[f"{src}.dec_attn.layer_norm.weight"],
+                "bias": sd[f"{src}.dec_attn.layer_norm.bias"],
+            },
+            "ff1": {
+                "kernel": _dense(sd[f"{src}.pos_ff.CoreNet.0.weight"]),
+                "bias": sd[f"{src}.pos_ff.CoreNet.0.bias"],
+            },
+            "ff2": {
+                "kernel": _dense(sd[f"{src}.pos_ff.CoreNet.3.weight"]),
+                "bias": sd[f"{src}.pos_ff.CoreNet.3.bias"],
+            },
+            "ln2": {
+                "scale": sd[f"{src}.pos_ff.layer_norm.weight"],
+                "bias": sd[f"{src}.pos_ff.layer_norm.bias"],
+            },
+        }
+    return params

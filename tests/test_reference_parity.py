@@ -1252,3 +1252,118 @@ def test_efficientdet_d0_forward_parity():
             np.asarray(box)[:, a_off:a_off + n].reshape(rb.shape),
             rb, atol=1e-3, rtol=1e-3, err_msg=f"box level {lvl}")
         a_off += n
+
+
+# ---------------------------------------------------------------------------
+# Transformer-XL
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def txl_ref():
+    """Import the reference ``mem_transformer`` (pure torch). Its local
+    ``utils`` package collides with other reference dirs — snapshot and
+    restore ``sys.modules`` around the import."""
+    root = REF + "/LanguageModeling/Transformer-XL/pytorch"
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "utils" or k.startswith("utils.")}
+    # utils/__init__ pulls exp_utils -> dllogger and gpu_affinity -> pynvml
+    # (logging / GPU-pinning only — no model math)
+    if "dllogger" not in sys.modules:
+        dll = types.ModuleType("dllogger")
+        dll.Verbosity = types.SimpleNamespace(DEFAULT=0, VERBOSE=1)
+        for fn in ("init", "log", "metadata", "flush"):
+            setattr(dll, fn, lambda *a, **k: None)
+        sys.modules["dllogger"] = dll
+    if "pynvml" not in sys.modules:
+        nv = types.ModuleType("pynvml")
+        nv.nvmlInit = lambda *a, **k: None
+        nv.nvmlDeviceGetCount = lambda: 0
+        sys.modules["pynvml"] = nv
+    sys.path.insert(0, root)
+    try:
+        import mem_transformer
+        yield mem_transformer
+    finally:
+        sys.path.remove(root)
+        for k in list(sys.modules):
+            if k in ("utils", "mem_transformer") or k.startswith("utils."):
+                sys.modules.pop(k)
+        sys.modules.update(saved)
+
+
+def test_transformer_xl_forward_parity(txl_ref):
+    """Two-segment forward vs ``MemTransformerLM`` (``mem_transformer.py:516``,
+    attn_type=0, div_val=1, tied weights): per-token NLL parity on segment 1
+    (empty mems) AND segment 2 (partially-filled mems, mem_len > seg_len) —
+    exercising the rel-shift, the shared r_w/r_r biases, the sqrt(d) embed
+    scale, and the static-shape masked-mems equivalent of growing memory."""
+    from deeplearningexamples_tpu.models.transformer_xl import (
+        TransformerXL, TransformerXLConfig,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_transformer_xl,
+    )
+
+    seed_all(40)
+    n_token, n_layer, n_head, d_model, d_head, d_inner = 96, 2, 2, 32, 16, 64
+    seg, mem_len = 8, 12
+    ref = txl_ref.MemTransformerLM(
+        n_token=n_token, n_layer=n_layer, n_head=n_head, d_model=d_model,
+        d_head=d_head, d_inner=d_inner, dropout=0.0, dropatt=0.0,
+        dtype=torch.float32, tie_weight=True, tgt_len=seg, ext_len=0,
+        mem_len=mem_len, cutoffs=[], same_length=False, attn_type=0,
+        clamp_len=-1,
+    ).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(41)
+        ref.r_w_bias.normal_(0, 0.1, generator=g)
+        ref.r_r_bias.normal_(0, 0.1, generator=g)
+        ref.crit.out_layers_biases[0].normal_(0, 0.1, generator=g)
+
+    cfg = TransformerXLConfig(
+        vocab_size=n_token, d_model=d_model, n_heads=n_head, d_head=d_head,
+        d_ff=d_inner, n_layers=n_layer, seg_len=seg, mem_len=mem_len,
+        dropout=0.0,
+    )
+    model = TransformerXL(cfg, dtype=jnp.float32)
+    params = convert_transformer_xl(sd_numpy(ref), n_layer, cfg.padded_vocab)
+
+    rng = np.random.default_rng(42)
+    b = 2
+    tok1 = rng.integers(0, n_token, (b, seg))
+    tgt1 = rng.integers(0, n_token, (b, seg))
+    tok2 = rng.integers(0, n_token, (b, seg))
+    tgt2 = rng.integers(0, n_token, (b, seg))
+
+    with torch.no_grad():
+        def tt(a):
+            return torch.tensor(np.ascontiguousarray(a.T))
+
+        loss1_ref, mems_ref = ref(tt(tok1), tt(tgt1), None)
+        loss2_ref, _ = ref(tt(tok2), tt(tgt2), mems_ref)
+
+    import optax
+
+    def nll(logits, tgt):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(tgt))
+
+    logits1, mems1 = model.apply(
+        {"params": params}, jnp.asarray(tok1, jnp.int32), None)
+    np.testing.assert_allclose(
+        np.asarray(nll(logits1, tgt1)), loss1_ref.numpy().T,
+        atol=2e-4, rtol=1e-3)
+
+    logits2, _ = model.apply(
+        {"params": params}, jnp.asarray(tok2, jnp.int32), mems1, seg)
+    np.testing.assert_allclose(
+        np.asarray(nll(logits2, tgt2)), loss2_ref.numpy().T,
+        atol=2e-4, rtol=1e-3)
+
+    # memory contents: ref new_mems are (mlen, bsz, d) hiddens entering each
+    # layer; ours are zero-padded to mem_len with the valid tail matching
+    for li in range(n_layer):
+        ref_m = mems_ref[li].numpy().transpose(1, 0, 2)  # (b, seg, d)
+        ours_m = np.asarray(mems1[li])[:, -seg:]
+        np.testing.assert_allclose(ours_m, ref_m, atol=2e-4, rtol=1e-3)
