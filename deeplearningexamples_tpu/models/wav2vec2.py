@@ -32,11 +32,22 @@ class Wav2Vec2Config:
     # 7 layers, 512ch, total stride 320 (~20ms at 16kHz)
     conv_layers: tuple = ((512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2),
                           (512, 3, 2), (512, 2, 2), (512, 2, 2))
+    # "group_norm" = reference extractor_mode "default" (GroupNorm on the
+    # first conv only — the BASE recipe); "layer_norm" = LN on every conv
+    # (the LARGE/vox recipe). model.py:949, ConvFeatureExtractionModel
+    extractor_mode: str = "group_norm"
     d_model: int = 768
     n_heads: int = 12
     n_layers: int = 12
     d_ff: int = 3072
     dropout: float = 0.1
+    # pre-LN (True, large) vs post-LN (False, BASE default) transformer —
+    # reference layer_norm_first, TransformerSentenceEncoderLayer
+    layer_norm_first: bool = False
+    # convolutional relative positional embedding (TransformerEncoder
+    # pos_conv: grouped conv 128/16 + SamePad + GELU, model.py:649-662)
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
     # quantizer
     n_groups: int = 2
     n_entries: int = 320  # codebook entries per group
@@ -59,8 +70,14 @@ class FeatureEncoder(nn.Module):
         for i, (ch, k, s) in enumerate(self.cfg.conv_layers):
             x = nn.Conv(ch, (k,), strides=(s,), padding="VALID",
                         use_bias=False, dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
-            x = nn.gelu(x)
+            if self.cfg.extractor_mode == "layer_norm":
+                x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+            elif i == 0:
+                # reference "default": GroupNorm(dim, dim) on layer 0 only —
+                # per-channel normalization over time
+                x = nn.GroupNorm(num_groups=ch, dtype=self.dtype,
+                                 name="gn0")(x)
+            x = nn.gelu(x, approximate=False)  # torch nn.GELU is exact erf
         return x  # (B, frames, 512)
 
 
@@ -74,21 +91,29 @@ class ContextBlock(nn.Module):
         b, s, _ = x.shape
         h = cfg.n_heads
         hd = cfg.d_model // h
-        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        qkv = nn.Dense(3 * cfg.d_model, dtype=self.dtype, name="qkv")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        heads = lambda t: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        ctx = flash_attention(heads(q), heads(k), heads(v))
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
-        x = x + RegenDropout(cfg.dropout)(
-            nn.Dense(cfg.d_model, dtype=self.dtype, name="attn_out")(ctx),
-            deterministic=deterministic,
-        )
-        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(y)
-        y = nn.gelu(y)
-        y = nn.Dense(cfg.d_model, dtype=self.dtype, name="ff2")(y)
-        return x + RegenDropout(cfg.dropout)(y, deterministic=deterministic)
+        ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
+        ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        drop = RegenDropout(cfg.dropout)
+
+        def attn(y):
+            qkv = nn.Dense(3 * cfg.d_model, dtype=self.dtype, name="qkv")(y)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            heads = lambda t: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+            ctx = flash_attention(heads(q), heads(k), heads(v))
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.d_model)
+            return nn.Dense(cfg.d_model, dtype=self.dtype, name="attn_out")(ctx)
+
+        def ff(y):
+            y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(y)
+            y = nn.gelu(y, approximate=False)
+            return nn.Dense(cfg.d_model, dtype=self.dtype, name="ff2")(y)
+
+        if cfg.layer_norm_first:  # pre-LN (large)
+            x = x + drop(attn(ln1(x)), deterministic=deterministic)
+            return x + drop(ff(ln2(x)), deterministic=deterministic)
+        # post-LN (BASE): residual -> LN
+        x = ln1(x + drop(attn(x), deterministic=deterministic))
+        return ln2(x + drop(ff(x), deterministic=deterministic))
 
 
 class GumbelQuantizer(nn.Module):
@@ -98,21 +123,28 @@ class GumbelQuantizer(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, z, tau, rng, hard: bool = True):
+    def __call__(self, z, tau, rng, hard: bool = True,
+                 deterministic: bool = False):
         cfg = self.cfg
         b, t, _ = z.shape
         g, e = cfg.n_groups, cfg.n_entries
         logits = nn.Dense(g * e, dtype=jnp.float32, name="proj")(
             z.astype(jnp.float32)
         ).reshape(b, t, g, e)
-        gumbel = -jnp.log(-jnp.log(
-            jax.random.uniform(rng, logits.shape, minval=1e-6, maxval=1.0 - 1e-6)
-        ))
-        y = jax.nn.softmax((logits + gumbel) / tau, axis=-1)
-        if hard:
-            idx = jnp.argmax(y, axis=-1)
-            y_hard = jax.nn.one_hot(idx, e)
-            y = y_hard + y - jax.lax.stop_gradient(y)  # straight-through
+        if deterministic:
+            # reference eval path (gumbel_vector_quantizer.py:189-191):
+            # plain argmax one-hot, no noise
+            y = jax.nn.one_hot(jnp.argmax(logits, axis=-1), e)
+        else:
+            gumbel = -jnp.log(-jnp.log(
+                jax.random.uniform(rng, logits.shape,
+                                   minval=1e-6, maxval=1.0 - 1e-6)
+            ))
+            y = jax.nn.softmax((logits + gumbel) / tau, axis=-1)
+            if hard:
+                idx = jnp.argmax(y, axis=-1)
+                y_hard = jax.nn.one_hot(idx, e)
+                y = y_hard + y - jax.lax.stop_gradient(y)  # straight-through
         codebook = self.param(
             "codevectors", nn.initializers.normal(1.0),
             (g, e, cfg.codevector_dim // g),
@@ -139,9 +171,23 @@ class Wav2Vec2(nn.Module):
         self.mask_embedding = self.param(
             "mask_embedding", nn.initializers.uniform(1.0), (cfg.d_model,)
         )
+        # convolutional relative positional embedding (reference pos_conv:
+        # grouped Conv1d(d,d,128,groups=16) + SamePad + GELU); weight_norm
+        # is a reparameterization — folded at import
+        self.pos_conv = nn.Conv(
+            cfg.d_model, (cfg.conv_pos,),
+            feature_group_count=cfg.conv_pos_groups,
+            padding=[(cfg.conv_pos // 2, cfg.conv_pos // 2)],
+            dtype=self.dtype, name="pos_conv",
+        )
+        # encoder-level LN: applied BEFORE the layers in post-LN mode,
+        # AFTER them in pre-LN mode (TransformerEncoder.extract_features)
+        self.encoder_ln = nn.LayerNorm(dtype=self.dtype)
         self.blocks = [ContextBlock(cfg, self.dtype, name=f"block_{i}")
                        for i in range(cfg.n_layers)]
         self.final_proj = nn.Dense(cfg.codevector_dim, dtype=jnp.float32)
+        # quantized-target projection (reference project_q, model.py:241)
+        self.project_q = nn.Dense(cfg.codevector_dim, dtype=jnp.float32)
         self.quantizer = GumbelQuantizer(cfg, self.dtype)
 
     def features(self, audio):
@@ -151,21 +197,33 @@ class Wav2Vec2(nn.Module):
     def contextualize(self, latents, mask, deterministic=True):
         """Context network output (B, T, d_model) — the representation
         fine-tuning heads consume (pre final_proj)."""
+        cfg = self.cfg
         x = self.feat_proj(latents)
         x = jnp.where(
             mask[:, :, None], self.mask_embedding.astype(self.dtype)[None, None],
             x,
         )
+        pc = self.pos_conv(x)
+        if cfg.conv_pos % 2 == 0:
+            pc = pc[:, :-1]  # SamePad: even kernels emit one extra step
+        x = x + nn.gelu(pc, approximate=False)
+        if not cfg.layer_norm_first:
+            x = self.encoder_ln(x)
         for blk in self.blocks:
             x = blk(x, deterministic)
+        if cfg.layer_norm_first:
+            x = self.encoder_ln(x)
         return x
 
     def __call__(self, audio, mask, tau=2.0, rngs_quant=None,
                  deterministic: bool = True):
         z = self.features(audio)
         q, perplexity = self.quantizer(
-            z, tau, rngs_quant if rngs_quant is not None else jax.random.key(0)
+            z, tau,
+            rngs_quant if rngs_quant is not None else jax.random.key(0),
+            deterministic=deterministic and rngs_quant is None,
         )
+        q = self.project_q(q)
         c = self.final_proj(
             self.contextualize(z, mask, deterministic).astype(jnp.float32)
         )  # (B, T, codevector_dim)

@@ -40,6 +40,7 @@ __all__ = [
     "convert_brats_unet3d",
     "convert_efficientdet_d0",
     "convert_transformer_xl",
+    "convert_wav2vec2",
 ]
 
 
@@ -1139,5 +1140,80 @@ def convert_transformer_xl(
                 "scale": sd[f"{src}.pos_ff.layer_norm.weight"],
                 "bias": sd[f"{src}.pos_ff.layer_norm.bias"],
             },
+        }
+    return params
+
+
+def convert_wav2vec2(sd: Mapping[str, np.ndarray], n_layers: int,
+                     n_convs: int, extractor_mode: str = "group_norm",
+                     n_groups: int = 2, n_entries: int = 320) -> dict:
+    """Reference ``Wav2Vec2Model`` state_dict (``SpeechRecognition/wav2vec2/
+    wav2vec2/model.py:159-276``) -> params for ``models/wav2vec2.Wav2Vec2``.
+
+    Layout notes: the feature extractor blocks are Sequentials
+    [conv, dropout, (norm), GELU], so the norm (GroupNorm in "default" mode
+    on block 0, per-conv LayerNorm at Sequential index 2.1 in "layer_norm"
+    mode) sits at key index 2. The encoder's pos_conv is weight-normed
+    (dim=2); callers must ``remove_weight_norm`` first so ``weight`` is
+    materialized. Separate q/k/v projections concatenate into our fused
+    qkv Dense in (q, k, v) order (``jnp.split`` order in ContextBlock).
+    """
+
+    def dense(w):
+        return np.transpose(w)  # torch Linear (out, in) -> (in, out)
+
+    def conv1d(w):
+        return np.transpose(w, (2, 1, 0))  # (out, in/g, k) -> (k, in/g, out)
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    enc: dict = {}
+    for i in range(n_convs):
+        src = f"feature_extractor.conv_layers.{i}"
+        enc[f"conv{i}"] = {"kernel": conv1d(sd[f"{src}.0.weight"])}
+        if extractor_mode == "layer_norm":
+            enc[f"ln{i}"] = ln(f"{src}.2.1")
+        elif i == 0:
+            enc["gn0"] = ln(f"{src}.2")
+
+    vars_ = sd["quantizer.vars"]  # (1, groups*entries, var_dim)
+    params: dict = {
+        "encoder": enc,
+        "feat_ln": ln("layer_norm"),
+        "feat_proj": {"kernel": dense(sd["post_extract_proj.weight"]),
+                      "bias": sd["post_extract_proj.bias"]},
+        "mask_embedding": sd["mask_emb"],
+        "pos_conv": {"kernel": conv1d(sd["encoder.pos_conv.0.weight"]),
+                     "bias": sd["encoder.pos_conv.0.bias"]},
+        "encoder_ln": ln("encoder.layer_norm"),
+        "final_proj": {"kernel": dense(sd["final_proj.weight"]),
+                       "bias": sd["final_proj.bias"]},
+        "project_q": {"kernel": dense(sd["project_q.weight"]),
+                      "bias": sd["project_q.bias"]},
+        "quantizer": {
+            "proj": {"kernel": dense(sd["quantizer.weight_proj.weight"]),
+                     "bias": sd["quantizer.weight_proj.bias"]},
+            "codevectors": vars_.reshape(n_groups, n_entries, -1),
+        },
+    }
+    for i in range(n_layers):
+        src = f"encoder.layers.{i}"
+        qkv_w = np.concatenate([sd[f"{src}.self_attn.q_proj.weight"],
+                                sd[f"{src}.self_attn.k_proj.weight"],
+                                sd[f"{src}.self_attn.v_proj.weight"]], axis=0)
+        qkv_b = np.concatenate([sd[f"{src}.self_attn.q_proj.bias"],
+                                sd[f"{src}.self_attn.k_proj.bias"],
+                                sd[f"{src}.self_attn.v_proj.bias"]], axis=0)
+        params[f"block_{i}"] = {
+            "qkv": {"kernel": dense(qkv_w), "bias": qkv_b},
+            "attn_out": {"kernel": dense(sd[f"{src}.self_attn.out_proj.weight"]),
+                         "bias": sd[f"{src}.self_attn.out_proj.bias"]},
+            "ln1": ln(f"{src}.self_attn_layer_norm"),
+            "ln2": ln(f"{src}.final_layer_norm"),
+            "ff1": {"kernel": dense(sd[f"{src}.fc1.weight"]),
+                    "bias": sd[f"{src}.fc1.bias"]},
+            "ff2": {"kernel": dense(sd[f"{src}.fc2.weight"]),
+                    "bias": sd[f"{src}.fc2.bias"]},
         }
     return params

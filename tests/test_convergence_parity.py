@@ -1,0 +1,518 @@
+"""N-step loss-curve parity vs the reference torch recipes (VERDICT r3 #2).
+
+Datasets are unavailable in this environment, so the strongest obtainable
+convergence evidence is: identical converted init, identical fixture data,
+the SAME optimizer math on both sides (parity-proven in
+``test_optimizer_parity.py``), reference torch on CPU vs this framework on
+CPU — asserting the loss CURVES track step for step. fp32 rounding compounds
+across steps, so curves are compared at 2% relative tolerance and the total
+loss decrease is additionally required to match within 5%.
+
+This covers the trainability half of every BASELINE accuracy row: if the
+functions, gradients, and update rules all match for dozens of consecutive
+steps, training dynamics are the reference's.
+
+Plus one pure-overfit proof (no reference needed): tiny fixed-seed BERT MLM
+must overfit its fixture batch, pinning end-to-end trainability.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+import test_reference_parity as fp  # noqa: E402
+
+REF = "/root/reference/PyTorch"
+
+
+def assert_curves_track(ours, theirs, rtol=0.02, decrease_tol=0.05,
+                        name=""):
+    ours = np.asarray(ours, np.float64)
+    theirs = np.asarray(theirs, np.float64)
+    np.testing.assert_allclose(
+        ours, theirs, rtol=rtol,
+        err_msg=f"{name}: loss curves diverge\nours={ours}\ntheirs={theirs}")
+    ref_drop = theirs[0] - theirs[-1]
+    assert ref_drop > 0, f"{name}: reference loss did not decrease: {theirs}"
+    our_drop = ours[0] - ours[-1]
+    assert abs(our_drop - ref_drop) <= decrease_tol * abs(ref_drop), (
+        f"{name}: decrease mismatch ours={our_drop:.6f} ref={ref_drop:.6f}")
+
+
+def run_torch_sgd(model, loss_closure, lr, steps, params=None):
+    opt = torch.optim.SGD(params if params is not None
+                          else model.parameters(), lr=lr)
+    curve = []
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = loss_closure()
+        loss.backward()
+        curve.append(float(loss.detach()))
+        opt.step()
+    return curve
+
+
+def run_ours_sgd(loss_fn, params, lr, steps):
+    tx = optax.sgd(lr)
+    st = tx.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    curve = []
+    for _ in range(steps):
+        loss, g = grad_fn(params)
+        curve.append(float(loss))
+        updates, st = tx.update(g, st, params)
+        params = optax.apply_updates(params, updates)
+    return curve
+
+
+# ---------------------------------------------------------------------------
+# DLRM: 40 SGD steps through embeddings + interaction + BCE
+# ---------------------------------------------------------------------------
+
+
+def test_dlrm_loss_curve_parity():
+    import types
+
+    if "apex" not in sys.modules:
+        apex = fp._stub_module("apex")
+        apex_mlp = fp._stub_module("apex.mlp")
+        apex_mlp.MlpFunction = type(
+            "MlpFunction", (),
+            {"forward": staticmethod(lambda *a, **k: None),
+             "backward": staticmethod(lambda *a, **k: None)})
+        apex_mlp.MLP = type("MLP", (torch.nn.Module,), {})
+        apex.mlp = apex_mlp
+        sys.modules["apex"] = apex
+        sys.modules["apex.mlp"] = apex_mlp
+    root = REF + "/Recommendation/DLRM"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    cuda_ext = types.ModuleType("dlrm.cuda_ext")
+    cuda_ext.dotBasedInteract = lambda *a: None
+    fge = types.ModuleType("dlrm.cuda_ext.fused_gather_embedding")
+    fge.BuckleEmbeddingFusedGatherFunction = object
+    cuda_ext.fused_gather_embedding = fge
+    sys.modules.setdefault("dlrm.cuda_ext", cuda_ext)
+    sys.modules.setdefault("dlrm.cuda_ext.fused_gather_embedding", fge)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        from dlrm.nn import parts as ref_parts
+        from dlrm.nn.interactions import DotInteraction
+
+        from deeplearningexamples_tpu.models.dlrm.model import Dlrm, DlrmConfig
+        from deeplearningexamples_tpu.utils.torch_import import convert_dlrm
+
+        fp.seed_all(50)
+        rng = np.random.default_rng(51)
+        cards = tuple(int(c) for c in rng.integers(10, 60, 8))
+        bottom = ref_parts.DlrmBottom(
+            num_numerical_features=13, categorical_feature_sizes=list(cards),
+            bottom_mlp_sizes=[64, 32], embedding_type="multi_table",
+            embedding_dim=32, device="cpu",
+        )
+        top = ref_parts.DlrmTop(
+            top_mlp_sizes=[64, 32, 1], interaction=DotInteraction(len(cards), 32))
+        # sparse embedding grads break dense torch.optim.SGD — densify
+        for e in bottom.embeddings.embeddings:
+            e.sparse = False
+
+        cfg = DlrmConfig(categorical_cardinalities=cards, embedding_dim=32,
+                         bottom_mlp=(64, 32), top_mlp=(64, 32, 1),
+                         num_numerical=13)
+        model = Dlrm(cfg, dtype=jnp.float32)
+        params = convert_dlrm(
+            bottom_weights=[w.detach().numpy() for w in bottom.mlp.weights],
+            bottom_biases=[b.detach().numpy() for b in bottom.mlp.biases],
+            embedding_tables=[e.weight.detach().numpy()
+                              for e in bottom.embeddings.embeddings],
+            top_weights=[w.detach().numpy() for w in top.mlp.weights]
+            + [top.out.weight.detach().numpy()],
+            top_biases=[b.detach().numpy() for b in top.mlp.biases]
+            + [top.out.bias.detach().numpy()],
+            total_rows=cfg.total_rows,
+        )
+        # converters return numpy VIEWS of the torch tensors; snapshot to
+        # device arrays before torch SGD mutates them in place
+        params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)
+
+        b = 32
+        numerical = rng.standard_normal((b, 13)).astype(np.float32)
+        categorical = np.stack(
+            [rng.integers(0, c, b) for c in cards], axis=1).astype(np.int64)
+        label = rng.integers(0, 2, b).astype(np.float32)
+        bce = torch.nn.BCEWithLogitsLoss()
+        num_t, cat_t = torch.tensor(numerical), torch.tensor(categorical)
+        lbl_t = torch.tensor(label)
+
+        def closure():
+            bo, bm = bottom(num_t, cat_t)
+            return bce(top(bo, bm)[:, 0], lbl_t)
+
+        steps, lr = 40, 0.05
+        ref_curve = run_torch_sgd(None, closure, lr, steps,
+                                  params=list(bottom.parameters())
+                                  + list(top.parameters()))
+
+        cat_j = jnp.asarray(categorical, jnp.int32)
+        num_j = jnp.asarray(numerical)
+        lbl_j = jnp.asarray(label)
+
+        def loss_fn(p):
+            logit = model.apply({"params": p}, num_j, cat_j)
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(logit, lbl_j))
+
+        our_curve = run_ours_sgd(loss_fn, params, lr, steps)
+        assert_curves_track(our_curve, ref_curve, name="dlrm")
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
+# ---------------------------------------------------------------------------
+# SSD300: 25 SGD steps through backbone + heads + multibox loss
+# ---------------------------------------------------------------------------
+
+
+def test_ssd300_loss_curve_parity():
+    fp._install_torchvision_stub()
+    if REF + "/Detection/SSD" not in sys.path:
+        sys.path.insert(0, REF + "/Detection/SSD")
+    from ssd import model as ssd_ref
+    from ssd.utils import dboxes300_coco as ref_dboxes
+
+    from deeplearningexamples_tpu.models.ssd.model import SSD300
+    from deeplearningexamples_tpu.models.ssd.task import multibox_loss
+    from deeplearningexamples_tpu.utils.torch_import import convert_ssd300
+
+    fp.seed_all(52)
+    ref = ssd_ref.SSD300(backbone=ssd_ref.ResNet("resnet50")).eval()
+    fp.randomize_bn_stats(ref)
+    params, stats = convert_ssd300(fp.sd_numpy(ref))
+    params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)  # snapshot views
+    model = SSD300(dtype=jnp.float32)
+
+    rng = np.random.default_rng(53)
+    b, n = 1, 8732
+    x = rng.standard_normal((b, 3, 300, 300)).astype(np.float32)
+    glabel = np.zeros((b, n), np.int64)
+    pos_idx = rng.choice(n, 20, replace=False)
+    glabel[0, pos_idx] = rng.integers(1, 81, 20)
+    dboxes = ref_dboxes()
+    d = dboxes(order="xywh").numpy()
+    gloc = np.tile(d.T[None], (b, 1, 1)).astype(np.float32)
+    jitter = 0.05 * rng.standard_normal((b, 4, n)).astype(np.float32)
+    gloc[:, :2] += jitter[:, :2]
+    gloc[:, 2:] *= np.exp(jitter[:, 2:])
+
+    ref_loss_mod = ssd_ref.Loss(dboxes)
+    xt = torch.tensor(x)
+    gloc_t, glabel_t = torch.tensor(gloc), torch.tensor(glabel)
+
+    def closure():
+        ploc, pconf = ref(xt)
+        return ref_loss_mod(ploc, pconf, gloc_t, glabel_t)
+
+    steps, lr = 25, 1e-3
+    ref_curve = run_torch_sgd(ref, closure, lr, steps)
+
+    scale_xy, scale_wh = 10.0, 5.0
+    gxy = scale_xy * (gloc[:, :2] - d.T[None, :2]) / d.T[None, 2:]
+    gwh = scale_wh * np.log(gloc[:, 2:] / d.T[None, 2:])
+    loc_t = jnp.asarray(np.concatenate([gxy, gwh], axis=1).transpose(0, 2, 1))
+    label_t = jnp.asarray(glabel.astype(np.int32))
+    img = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    def loss_fn(p):
+        loc, conf = model.apply(
+            {"params": p, "batch_stats": stats}, img, train=False)
+        return multibox_loss(loc, conf, loc_t, label_t)
+
+    our_curve = run_ours_sgd(loss_fn, params, lr, steps)
+    assert_curves_track(our_curve, ref_curve, name="ssd300")
+
+
+# ---------------------------------------------------------------------------
+# BERT: 30 BertAdam steps (the parity-tested reference optimizer) on the
+# HF-layout encoder with a deterministic readout loss
+# ---------------------------------------------------------------------------
+
+
+def test_bert_loss_curve_parity_with_bert_adam(ref_bert_adam_module):
+    import test_torch_import as ti
+
+    HFConfig, HFBert = ti._import_hf_bert()
+    from deeplearningexamples_tpu.core.optimizers import bert_adam
+    from deeplearningexamples_tpu.models.bert import BertConfig, BertModel
+    from deeplearningexamples_tpu.utils.torch_import import convert_bert
+
+    fp.seed_all(54)
+    hf_cfg = HFConfig(
+        vocab_size=96, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    hf = HFBert(hf_cfg).eval()
+    cfg = BertConfig(
+        vocab_size=96, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, max_position_embeddings=32,
+        hidden_dropout=0.0, attention_dropout=0.0, gelu_approximate=False,
+    )
+    model = BertModel(cfg, dtype=jnp.float32)
+    params = convert_bert({k: v.numpy() for k, v in hf.state_dict().items()},
+                          cfg.padded_vocab, cfg.num_layers)
+    params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)  # snapshot views
+
+    rng = np.random.default_rng(55)
+    ids = rng.integers(1, 96, (4, 12))
+    target = rng.standard_normal((4, 12, 32)).astype(np.float32) * 0.5
+    ids_t = torch.tensor(ids)
+    tgt_t = torch.tensor(target)
+
+    steps, lr, warmup, t_total = 30, 5e-4, 0.2, 30
+    no_decay = ("bias", "LayerNorm")
+    groups = [
+        {"params": [p for nm, p in hf.named_parameters()
+                    if not any(s in nm for s in no_decay)],
+         "weight_decay": 0.01},
+        {"params": [p for nm, p in hf.named_parameters()
+                    if any(s in nm for s in no_decay)], "weight_decay": 0.0},
+    ]
+    ref_opt = ref_bert_adam_module.BertAdam(
+        groups, lr=lr, warmup=warmup, t_total=t_total,
+        schedule="warmup_linear", max_grad_norm=1.0)
+    mse = torch.nn.MSELoss()
+    ref_curve = []
+    for _ in range(steps):
+        ref_opt.zero_grad()
+        out = hf(input_ids=ids_t).last_hidden_state
+        loss = mse(out, tgt_t)
+        loss.backward()
+        ref_curve.append(float(loss.detach()))
+        ref_opt.step()
+
+    mask_tree = jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+    tx = bert_adam(lr, warmup=warmup, t_total=t_total, mask=mask_tree)
+    st = tx.init(params)
+    tgt_j = jnp.asarray(target)
+    ids_j = jnp.asarray(ids, jnp.int32)
+    ones = jnp.ones_like(ids_j)
+
+    def loss_fn(p):
+        seq, _ = model.apply({"params": p}, ids_j, ones,
+                             jnp.zeros_like(ids_j), deterministic=True)
+        return jnp.mean(jnp.square(seq - tgt_j))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    our_curve = []
+    for _ in range(steps):
+        loss, g = grad_fn(params)
+        our_curve.append(float(loss))
+        updates, st = tx.update(g, st, params)
+        params = optax.apply_updates(params, updates)
+
+    assert_curves_track(our_curve, ref_curve, name="bert+bert_adam")
+
+
+@pytest.fixture(scope="module")
+def ref_bert_adam_module():
+    from test_optimizer_parity import ref_bert_adam
+
+    gen = ref_bert_adam.__wrapped__()
+    mod = next(gen)
+    yield mod
+    try:
+        next(gen)
+    except StopIteration:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Tacotron2: 20 SGD steps through the scan decoder
+# ---------------------------------------------------------------------------
+
+
+def test_tacotron2_loss_curve_parity(monkeypatch):
+    taco_model, taco_loss_mod = fp.taco_ref.__wrapped__()
+    from deeplearningexamples_tpu.models.tts.tacotron2 import (
+        Tacotron2, Tacotron2Config, tacotron2_loss,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import convert_tacotron2
+
+    monkeypatch.setattr(
+        taco_model.F, "dropout",
+        lambda x, p=0.5, training=False, inplace=False: x)
+
+    fp.seed_all(56)
+    ref = taco_model.Tacotron2(
+        mask_padding=False, n_mel_channels=80, n_symbols=148,
+        symbols_embedding_dim=512, encoder_kernel_size=5,
+        encoder_n_convolutions=3, encoder_embedding_dim=512,
+        attention_rnn_dim=1024, attention_dim=128,
+        attention_location_n_filters=32, attention_location_kernel_size=31,
+        n_frames_per_step=1, decoder_rnn_dim=1024, prenet_dim=256,
+        max_decoder_steps=2000, gate_threshold=0.5,
+        p_attention_dropout=0.0, p_decoder_dropout=0.0,
+        postnet_embedding_dim=512, postnet_kernel_size=5,
+        postnet_n_convolutions=5, decoder_no_early_stopping=True,
+    ).eval()
+    fp.randomize_bn_stats(ref)
+    cfg = Tacotron2Config(
+        dropout=0.0, p_attention_dropout=0.0, p_decoder_dropout=0.0)
+    model = Tacotron2(cfg, dtype=jnp.float32)
+    params, stats = convert_tacotron2(fp.sd_numpy(ref))
+    params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)  # snapshot views
+
+    rng = np.random.default_rng(57)
+    # b >= 2: the reference decoder's gate_output.squeeze() collapses the
+    # batch dim at b=1 and parse_decoder_outputs then IndexErrors
+    b, t_in, t_out = 2, 8, 12
+    text = rng.integers(1, 148, (b, t_in))
+    text_len = np.array([t_in] * b)
+    mels = rng.standard_normal((b, t_out, 80)).astype(np.float32)
+    mel_len = np.array([t_out] * b)
+    gate_t = (np.arange(t_out)[None, :] >= mel_len[:, None] - 1
+              ).astype(np.float32)
+
+    crit = taco_loss_mod.Tacotron2Loss()
+    tin = (torch.tensor(text), torch.tensor(text_len),
+           torch.tensor(mels.transpose(0, 2, 1)), t_in,
+           torch.tensor(mel_len))
+    tgt = (torch.tensor(mels.transpose(0, 2, 1)), torch.tensor(gate_t))
+
+    def closure():
+        return crit(ref(tin), tgt)
+
+    steps, lr = 20, 1e-3
+    ref_curve = run_torch_sgd(ref, closure, lr, steps)
+
+    text_j = jnp.asarray(text, jnp.int32)
+    tl_j = jnp.asarray(text_len, jnp.int32)
+    mel_j = jnp.asarray(mels)
+    ml_j = jnp.asarray(mel_len, jnp.int32)
+    gate_j = jnp.asarray(gate_t)
+
+    def loss_fn(p):
+        mel, mel_post, gates, _ = model.apply(
+            {"params": p, "batch_stats": stats},
+            text_j, tl_j, mel_j, ml_j, deterministic=True)
+        return tacotron2_loss(mel, mel_post, gates, mel_j, gate_j)
+
+    our_curve = run_ours_sgd(loss_fn, params, lr, steps)
+    assert_curves_track(our_curve, ref_curve, name="tacotron2")
+
+
+# ---------------------------------------------------------------------------
+# WaveGlow: 25 SGD steps through the flow + logdet loss
+# ---------------------------------------------------------------------------
+
+
+def test_waveglow_loss_curve_parity():
+    taco_model, _ = fp.taco_ref.__wrapped__()
+    import waveglow.loss_function as wg_loss_mod
+    import waveglow.model as wg_model
+
+    from deeplearningexamples_tpu.models.tts.waveglow import (
+        WaveGlow, WaveGlowConfig, waveglow_loss,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import convert_waveglow
+
+    fp.seed_all(58)
+    n_flows, n_layers, n_channels = 2, 2, 32
+    ref = wg_model.WaveGlow(
+        n_mel_channels=80, n_flows=n_flows, n_group=8, n_early_every=2,
+        n_early_size=2,
+        WN_config=dict(n_layers=n_layers, n_channels=n_channels,
+                       kernel_size=3),
+    )
+    g = torch.Generator().manual_seed(59)
+    for wn in ref.WN:
+        wn.end.weight.data.uniform_(-0.05, 0.05, generator=g)
+        wn.end.bias.data.uniform_(-0.05, 0.05, generator=g)
+    ref = wg_model.WaveGlow.remove_weightnorm(ref)
+
+    cfg = WaveGlowConfig(n_flows=n_flows, n_early_every=2,
+                         wn_n_layers=n_layers, wn_n_channels=n_channels)
+    model = WaveGlow(cfg, dtype=jnp.float32)
+    params = convert_waveglow(fp.sd_numpy(ref), n_flows=n_flows,
+                              n_layers=n_layers)
+    params = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)  # snapshot views
+
+    rng = np.random.default_rng(60)
+    audio = rng.standard_normal((1, 2048)).astype(np.float32)
+    mel = rng.standard_normal((1, 8, 80)).astype(np.float32)
+    crit = wg_loss_mod.WaveGlowLoss()
+    audio_t = torch.tensor(audio)
+    mel_t = torch.tensor(mel.transpose(0, 2, 1))
+
+    def closure():
+        return crit(ref((mel_t, audio_t)), audio_t)
+
+    steps, lr = 25, 1e-4
+    ref_curve = run_torch_sgd(ref, closure, lr, steps)
+
+    a_j, m_j = jnp.asarray(audio), jnp.asarray(mel)
+
+    def loss_fn(p):
+        z, log_s, log_det = model.apply({"params": p}, a_j, m_j)
+        return waveglow_loss(z, log_s, log_det)
+
+    our_curve = run_ours_sgd(loss_fn, params, lr, steps)
+    assert_curves_track(our_curve, ref_curve, name="waveglow")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-seed synthetic overfit (ours alone): end-to-end trainability pin
+# ---------------------------------------------------------------------------
+
+
+def test_bert_mlm_overfit_fixture():
+    from deeplearningexamples_tpu.core.train import (
+        create_train_state, make_train_step,
+    )
+    from deeplearningexamples_tpu.models.bert import (
+        BERT_CONFIGS, BertPretrainTask,
+    )
+    from deeplearningexamples_tpu.ops.lamb import lamb
+
+    task = BertPretrainTask(BERT_CONFIGS["tiny"], jnp.float32,
+                            max_predictions=4)
+    params, mstate = task.init(jax.random.key(0), seq_len=16)
+    mask_tree = jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+    tx = lamb(5e-3, weight_decay=0.01, mask=mask_tree)
+    state = create_train_state(params, tx, jax.random.key(1), mstate)
+    step = make_train_step(task.loss_fn, tx)
+
+    rng = np.random.default_rng(61)
+    b, seq = 8, 16
+    labels = np.full((b, seq), -1, np.int32)
+    for i in range(b):
+        pos = rng.choice(seq, size=4, replace=False)
+        labels[i, pos] = rng.integers(0, 1000, size=4)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 1000, (b, seq)), jnp.int32),
+        "attention_mask": jnp.ones((b, seq), jnp.int32),
+        "token_type_ids": jnp.zeros((b, seq), jnp.int32),
+        "mlm_labels": jnp.asarray(labels),
+        "nsp_label": jnp.asarray(rng.integers(0, 2, (b,)), jnp.int32),
+    }
+    first = None
+    for i in range(400):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    final = float(metrics["loss"])
+    # one fixture batch must be memorizable: ln(1000)~6.9 at init -> < 0.5
+    assert final < 0.5, f"failed to overfit: first={first:.3f} final={final:.3f}"

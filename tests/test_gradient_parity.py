@@ -348,8 +348,8 @@ def test_dlrm_gradient_parity():
 
     # same stubs as test_reference_parity's dlrm_ref fixture
     if "apex" not in sys.modules:
-        apex = types.ModuleType("apex")
-        apex_mlp = types.ModuleType("apex.mlp")
+        apex = fp._stub_module("apex")
+        apex_mlp = fp._stub_module("apex.mlp")
         apex_mlp.MlpFunction = type(
             "MlpFunction", (),
             {"forward": staticmethod(lambda *a, **k: None),

@@ -148,15 +148,24 @@ def test_fused_lamb_matches_nvlamb_oracle():
 
 @pytest.fixture(scope="module")
 def ref_bert_adam():
+    import importlib.machinery
+
+    def stub(name):
+        # real ModuleSpec so importlib.util.find_spec (transformers'
+        # availability probe) doesn't reject the stub
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
     # apex/amp_C are only used by the FusedAdam/fp16 path we don't exercise
-    apex = types.ModuleType("apex")
-    apex_opt = types.ModuleType("apex.optimizers")
+    apex = stub("apex")
+    apex_opt = stub("apex.optimizers")
     apex_opt.FusedAdam = object
-    apex_mta = types.ModuleType("apex.multi_tensor_apply")
+    apex_mta = stub("apex.multi_tensor_apply")
     apex_mta.multi_tensor_applier = types.SimpleNamespace(available=False)
     apex.optimizers = apex_opt
     apex.multi_tensor_apply = apex_mta
-    amp_C = types.ModuleType("amp_C")
+    amp_C = stub("amp_C")
     for name in ("multi_tensor_l2norm", "multi_tensor_lamb_stage1_cuda",
                  "multi_tensor_lamb_stage2_cuda", "multi_tensor_scale"):
         setattr(amp_C, name, None)

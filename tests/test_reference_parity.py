@@ -40,6 +40,17 @@ import jax.numpy as jnp  # noqa: E402
 REF = "/root/reference/PyTorch"
 
 
+def _stub_module(name: str):
+    """types.ModuleType with a real ModuleSpec — importlib.util.find_spec
+    (used by transformers' availability probes) rejects spec-less stubs."""
+    import importlib.machinery
+    import types as _types
+
+    m = _types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
+
+
 def seed_all(n: int = 0):
     np.random.seed(n)
     torch.manual_seed(n)
@@ -127,18 +138,22 @@ def _install_torchvision_stub():
     def _unavailable(weights=None, **kw):  # pragma: no cover
         raise NotImplementedError
 
-    tv = types.ModuleType("torchvision")
+    # _stub_module gives each a real ModuleSpec — transformers' lazy
+    # availability probe (importlib.util.find_spec) raises ValueError on
+    # spec-less sys.modules entries, which broke any later test that
+    # imported transformers after this stub was installed.
+    tv = _stub_module("torchvision")
     tv.__path__ = []  # package, so submodule imports resolve
-    tv_models = types.ModuleType("torchvision.models")
+    tv_models = _stub_module("torchvision.models")
     tv_models.__path__ = []
-    tv_transforms = types.ModuleType("torchvision.transforms")
+    tv_transforms = _stub_module("torchvision.transforms")
     tv_transforms.Compose = lambda ts: ts
     tv_transforms.Normalize = lambda *a, **k: None
     tv_transforms.ToTensor = lambda *a, **k: None
     tv_transforms.Resize = lambda *a, **k: None
     tv.transforms = tv_transforms
     sys.modules["torchvision.transforms"] = tv_transforms
-    tv_resnet = types.ModuleType("torchvision.models.resnet")
+    tv_resnet = _stub_module("torchvision.models.resnet")
     tv_resnet.resnet18 = _unavailable
     tv_resnet.resnet34 = _unavailable
     tv_resnet.resnet50 = resnet50
@@ -433,8 +448,8 @@ def test_waveglow_forward_and_loss_parity(taco_ref):
 def dlrm_ref(request):
     # stub apex + the CUDA extensions the reference imports at module scope
     if "apex" not in sys.modules:
-        apex = types.ModuleType("apex")
-        apex_mlp = types.ModuleType("apex.mlp")
+        apex = _stub_module("apex")
+        apex_mlp = _stub_module("apex.mlp")
 
         class _MlpFunction:
             forward = staticmethod(lambda *a, **k: None)
@@ -1367,3 +1382,164 @@ def test_transformer_xl_forward_parity(txl_ref):
         ref_m = mems_ref[li].numpy().transpose(1, 0, 2)  # (b, seg, d)
         ours_m = np.asarray(mems1[li])[:, -seg:]
         np.testing.assert_allclose(ours_m, ref_m, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# wav2vec 2.0 — SpeechRecognition/wav2vec2/wav2vec2/model.py:159-778
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def w2v_ref():
+    """Import the reference ``wav2vec2.model`` (torch, CPU-runnable). Its
+    regular ``common`` package collides with Jasper's/HiFiGAN's — snapshot
+    and restore ``sys.modules``/``sys.path`` around the import. numba,
+    librosa, soundfile, amp_C and apex.multi_tensor_apply are data-loader /
+    fused-optimizer imports only — inert stubs carry no model math."""
+    root = REF + "/SpeechRecognition/wav2vec2"
+    saved_mods = {k: sys.modules.pop(k) for k in list(sys.modules)
+                  if k in ("common", "wav2vec2") or k.startswith("common.")
+                  or k.startswith("wav2vec2.")}
+    if "numba" not in sys.modules:
+        numba = _stub_module("numba")
+        numba.jit = lambda *a, **k: (lambda f: f)
+        numba.njit = numba.jit
+        sys.modules["numba"] = numba
+    if "librosa" not in sys.modules:
+        lib = _stub_module("librosa")
+        lib.__path__ = []
+        lib_f = _stub_module("librosa.filters")
+        lib_f.mel = lambda *a, **k: None
+        lib.filters = lib_f
+        sys.modules["librosa"] = lib
+        sys.modules["librosa.filters"] = lib_f
+    if "soundfile" not in sys.modules:
+        sys.modules["soundfile"] = _stub_module("soundfile")
+    if "amp_C" not in sys.modules:
+        amp_C = _stub_module("amp_C")
+        for fn in ("multi_tensor_l2norm", "multi_tensor_scale"):
+            setattr(amp_C, fn, None)
+        sys.modules["amp_C"] = amp_C
+    # apex may already be stubbed by the DLRM/BertAdam fixtures with other
+    # submodules — only graft what common/helpers.py needs
+    apex = sys.modules.get("apex")
+    if apex is None:
+        apex = _stub_module("apex")
+        apex.__path__ = []
+        sys.modules["apex"] = apex
+    if "apex.multi_tensor_apply" not in sys.modules:
+        mta = _stub_module("apex.multi_tensor_apply")
+
+        class _MTA:
+            available = False
+
+            def __init__(self, *a, **k):
+                pass
+
+        mta.MultiTensorApply = _MTA
+        mta.multi_tensor_applier = _MTA()
+        apex.multi_tensor_apply = mta
+        sys.modules["apex.multi_tensor_apply"] = mta
+    saved_path = list(sys.path)
+    for other in (REF + "/SpeechRecognition/Jasper",
+                  REF + "/SpeechSynthesis/HiFiGAN"):
+        while other in sys.path:
+            sys.path.remove(other)
+    sys.path.insert(0, root)
+    saved_argv = sys.argv
+    sys.argv = ["pytest", "pretrain"]
+    try:
+        import argparse
+
+        from wav2vec2 import arg_parser
+        from wav2vec2 import model as w2v_model
+
+        p = argparse.ArgumentParser()
+        arg_parser.populate(p)
+        args = p.parse_args(
+            ["pretrain", "--output_dir", "/tmp/w2v_parity", "--quantize_targets"])
+        yield w2v_model, args
+    finally:
+        sys.argv = saved_argv
+        sys.path[:] = saved_path
+        for k in list(sys.modules):
+            if k in ("common", "wav2vec2") or k.startswith("common.") \
+                    or k.startswith("wav2vec2."):
+                sys.modules.pop(k)
+        sys.modules.update(saved_mods)
+
+
+def test_wav2vec2_forward_parity(w2v_ref):
+    """Tiny reference Wav2Vec2Model (eval) -> convert_wav2vec2 -> our
+    Wav2Vec2 must reproduce, at every masked position: the context-network
+    projection c = final_proj(encoder(masked features)) AND the quantized
+    target y = project_q(quantizer(features)) — mirroring the pieces of
+    ``Wav2Vec2Model.forward`` (model.py:470-720) that are deterministic in
+    eval mode (the quantizer's eval path is plain argmax one-hot; negative
+    sampling is excluded as it is torch-RNG driven). Exercises the GroupNorm
+    extractor, feature LN, post_extract_proj, mask_emb substitution,
+    weight-normed pos_conv + SamePad + GELU, post-LN transformer ordering,
+    and the product codebook."""
+    w2v_model, args = w2v_ref
+    from deeplearningexamples_tpu.models.wav2vec2 import Wav2Vec2, Wav2Vec2Config
+    from deeplearningexamples_tpu.utils.torch_import import convert_wav2vec2
+
+    args.conv_feature_layers = "[(32,10,5),(32,3,2),(32,2,2)]"
+    args.encoder_embed_dim = 48
+    args.encoder_layers = 2
+    args.encoder_attention_heads = 2
+    args.encoder_ffn_embed_dim = 96
+    args.final_dim = 24
+    args.latent_vars = 12
+    args.latent_groups = 2
+    args.conv_pos = 16
+    args.conv_pos_groups = 4
+    args.dropout = 0.0
+    args.attention_dropout = 0.0
+    args.activation_dropout = 0.0
+    args.dropout_input = 0.0
+    args.dropout_features = 0.0
+    args.encoder_layerdrop = 0.0
+
+    seed_all(0)
+    ref = w2v_model.Wav2Vec2Model(args).eval()
+    torch.nn.utils.remove_weight_norm(ref.encoder.pos_conv[0])
+    sd = sd_numpy(ref)
+    params = convert_wav2vec2(sd, n_layers=2, n_convs=3,
+                              extractor_mode="group_norm",
+                              n_groups=2, n_entries=12)
+
+    cfg = Wav2Vec2Config(
+        conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)), d_model=48,
+        n_heads=2, n_layers=2, d_ff=96, dropout=0.0, conv_pos=16,
+        conv_pos_groups=4, n_groups=2, n_entries=12, codevector_dim=24,
+    )
+    model = Wav2Vec2(cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    b, t, frames, n_mask = 2, 1600, 79, 9
+    audio = rng.standard_normal((b, t)).astype(np.float32)
+    mask_np = np.zeros((b, frames), bool)
+    for i in range(b):  # same count per row: the reference view() needs it
+        mask_np[i, rng.choice(frames, n_mask, replace=False)] = True
+
+    src = torch.tensor(audio)
+    mask_t = torch.tensor(mask_np)
+    with torch.no_grad():
+        feats = ref.feature_extractor(src).transpose(1, 2)
+        feats = ref.layer_norm(feats)
+        y = feats[mask_t].view(b, n_mask, feats.size(-1))
+        y = ref.project_q(ref.quantizer(y, produce_targets=False)["x"])
+        x = ref.post_extract_proj(feats)
+        x[mask_t] = ref.mask_emb
+        x, _ = ref.encoder(x, padding_mask=None)
+        c = ref.final_proj(x[mask_t]).view(b, n_mask, -1)
+
+    c_all, q_all, _ = model.apply(
+        {"params": params}, jnp.asarray(audio), jnp.asarray(mask_np),
+        deterministic=True,
+    )
+    ours_c = np.asarray(c_all)[mask_np].reshape(b, n_mask, -1)
+    ours_q = np.asarray(q_all)[mask_np].reshape(b, n_mask, -1)
+    np.testing.assert_allclose(ours_q, y.numpy(), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(ours_c, c.numpy(), atol=2e-4, rtol=2e-4)
