@@ -41,6 +41,7 @@ __all__ = [
     "convert_efficientdet_d0",
     "convert_transformer_xl",
     "convert_wav2vec2",
+    "convert_bart",
 ]
 
 
@@ -1215,5 +1216,66 @@ def convert_wav2vec2(sd: Mapping[str, np.ndarray], n_layers: int,
                     "bias": sd[f"{src}.fc1.bias"]},
             "ff2": {"kernel": dense(sd[f"{src}.fc2.weight"]),
                     "bias": sd[f"{src}.fc2.bias"]},
+        }
+    return params
+
+
+def convert_bart(sd: Mapping[str, np.ndarray], enc_layers: int,
+                 dec_layers: int, padded_vocab: int) -> dict:
+    """Reference ``BartForConditionalGeneration`` state_dict
+    (``LanguageModeling/BART/bart/modeling/modeling_bart.py:1267``) ->
+    params for ``models/bart.BartModel``. The shared embedding is padded
+    with zero rows to the MXU-friendly vocab; positional tables keep the
+    fairseq +2 offset rows; ``final_logits_bias`` is a zeros buffer
+    upstream and is dropped."""
+
+    def dense(w):
+        return np.transpose(w)
+
+    def ln(p):
+        return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+    def attn(src):
+        return {
+            name: {"kernel": dense(sd[f"{src}.{t}_proj.weight"]),
+                   "bias": sd[f"{src}.{t}_proj.bias"]}
+            for name, t in (("q", "q"), ("k", "k"), ("v", "v"), ("out", "out"))
+        }
+
+    emb = sd["model.shared.weight"]
+    if emb.shape[0] < padded_vocab:
+        emb = np.concatenate(
+            [emb, np.zeros((padded_vocab - emb.shape[0], emb.shape[1]),
+                           emb.dtype)])
+    params: dict = {
+        "embed": {"embedding": emb},
+        "enc_pos": {"embedding": sd["model.encoder.embed_positions.weight"]},
+        "dec_pos": {"embedding": sd["model.decoder.embed_positions.weight"]},
+        "enc_emb_ln": ln("model.encoder.layernorm_embedding"),
+        "dec_emb_ln": ln("model.decoder.layernorm_embedding"),
+    }
+    for i in range(enc_layers):
+        src = f"model.encoder.layers.{i}"
+        params[f"enc_{i}"] = {
+            "self_attn": attn(f"{src}.self_attn"),
+            "ln1": ln(f"{src}.self_attn_layer_norm"),
+            "ff1": {"kernel": dense(sd[f"{src}.fc1.weight"]),
+                    "bias": sd[f"{src}.fc1.bias"]},
+            "ff2": {"kernel": dense(sd[f"{src}.fc2.weight"]),
+                    "bias": sd[f"{src}.fc2.bias"]},
+            "ln2": ln(f"{src}.final_layer_norm"),
+        }
+    for i in range(dec_layers):
+        src = f"model.decoder.layers.{i}"
+        params[f"dec_{i}"] = {
+            "self_attn": attn(f"{src}.self_attn"),
+            "cross_attn": attn(f"{src}.encoder_attn"),
+            "ln1": ln(f"{src}.self_attn_layer_norm"),
+            "ln_cross": ln(f"{src}.encoder_attn_layer_norm"),
+            "ff1": {"kernel": dense(sd[f"{src}.fc1.weight"]),
+                    "bias": sd[f"{src}.fc1.bias"]},
+            "ff2": {"kernel": dense(sd[f"{src}.fc2.weight"]),
+                    "bias": sd[f"{src}.fc2.bias"]},
+            "ln2": ln(f"{src}.final_layer_norm"),
         }
     return params

@@ -1543,3 +1543,100 @@ def test_wav2vec2_forward_parity(w2v_ref):
     ours_q = np.asarray(q_all)[mask_np].reshape(b, n_mask, -1)
     np.testing.assert_allclose(ours_q, y.numpy(), atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(ours_c, c.numpy(), atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# BART — LanguageModeling/BART/bart/modeling/modeling_bart.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def bart_ref():
+    """Import the vendored HF BART (pure torch, CPU-runnable). Its repo
+    root has its own ``utils`` package (collides with Transformer-XL's) and
+    a ``bart`` package — snapshot and restore sys.modules around it."""
+    root = REF + "/LanguageModeling/BART"
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k.split(".")[0] in ("utils", "bart")}
+    sys.path.insert(0, root)
+    try:
+        from bart.configuration.configuration_bart import BartConfig
+        from bart.modeling.modeling_bart import BartForConditionalGeneration
+        yield BartConfig, BartForConditionalGeneration
+    finally:
+        sys.path.remove(root)
+        for k in list(sys.modules):
+            if k.split(".")[0] in ("utils", "bart"):
+                sys.modules.pop(k)
+        sys.modules.update(saved)
+
+
+def test_bart_forward_and_loss_parity(bart_ref):
+    """Tiny reference BartForConditionalGeneration (eval, post-LN default)
+    -> convert_bart -> our BartModel must reproduce the lm logits on a
+    padded batch (exercising learned +2-offset positions,
+    layernorm_embedding, GELU post-LN blocks, cross-attention, tied head)
+    AND the label-smoothed CE must match the same quantity computed on the
+    reference logits."""
+    RefConfig, RefBart = bart_ref
+    import torch as _torch
+
+    from deeplearningexamples_tpu.models.bart import (
+        BartConfig, BartModel, BartTask,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import convert_bart
+
+    seed_all(0)
+    ref_cfg = RefConfig(
+        vocab_size=128, d_model=32, encoder_ffn_dim=64, encoder_layers=2,
+        encoder_attention_heads=2, decoder_ffn_dim=64, decoder_layers=2,
+        decoder_attention_heads=2, max_position_embeddings=64,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        dtype=_torch.float32, pre_ln=False, gradient_checkpointing=False,
+    )
+    ref = RefBart(ref_cfg).eval()
+    sd = sd_numpy(ref)
+
+    cfg = BartConfig(vocab_size=128, d_model=32, d_ff=64, num_heads=2,
+                     encoder_layers=2, decoder_layers=2, dropout=0.0,
+                     max_len=64)
+    model = BartModel(cfg, dtype=jnp.float32)
+    params = convert_bart(sd, enc_layers=2, dec_layers=2,
+                          padded_vocab=cfg.padded_vocab)
+
+    rng = np.random.default_rng(1)
+    b, s_src, s_tgt = 2, 12, 9
+    src = rng.integers(4, 128, (b, s_src))
+    src[0, -3:] = cfg.pad_id  # exercise encoder key padding
+    dec_in = rng.integers(4, 128, (b, s_tgt))
+
+    src_t = torch.tensor(src)
+    am = (src_t != cfg.pad_id).long()
+    with torch.no_grad():
+        out = ref(input_ids=src_t, attention_mask=am,
+                  decoder_input_ids=torch.tensor(dec_in), use_cache=False)
+        ref_logits = (out[0] if isinstance(out, tuple) else out.logits).numpy()
+
+    ours = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(src, jnp.int32),
+        jnp.asarray(dec_in, jnp.int32), deterministic=True,
+    ))[:, :, :128]
+    np.testing.assert_allclose(ours, ref_logits, atol=2e-4, rtol=2e-4)
+
+    # loss parity: our label-smoothed CE on our logits == the same formula
+    # on the reference logits (recipe: 0.1 smoothing, pads excluded)
+    task = BartTask(cfg, dtype=jnp.float32)
+    tgt = np.concatenate([dec_in, np.full((b, 1), cfg.pad_id)], axis=1)
+    tgt[:, -1] = cfg.eos_id
+    batch = {"src": jnp.asarray(src, jnp.int32),
+             "tgt": jnp.asarray(tgt, jnp.int32)}
+    loss, _ = task.loss_fn(params, {}, batch, jax.random.key(0))
+
+    lp = torch.log_softmax(torch.tensor(ref_logits), dim=-1)
+    tgt_out = torch.tensor(tgt[:, 1:].astype(np.int64))
+    valid = (tgt_out != cfg.pad_id).float()
+    nll = -lp.gather(-1, tgt_out[..., None])[..., 0]
+    smooth = -lp.mean(-1)
+    ce = 0.9 * nll + 0.1 * smooth
+    want = float((ce * valid).sum() / valid.sum())
+    assert abs(float(loss) - want) < 1e-5
