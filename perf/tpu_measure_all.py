@@ -136,7 +136,9 @@ def flash_kblock_s2048():
                     jnp.bfloat16)
 
     def loss(q, k, v):
-        o = flash_attention(q, k, v, causal=True, block_q=512, block_k=512)
+        # 1024/1024 blocks measured optimal at s2048 (round-4 sweep,
+        # /tmp/causal_sweep grid: 4.86 ms vs 5.40 at 512/512)
+        o = flash_attention(q, k, v, causal=True, block_q=1024, block_k=1024)
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
     g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
