@@ -272,7 +272,21 @@ def _convert_bert(model, path):
     return {"params": params}
 
 
+def _make_gpunet_converter(arch_name):
+    def conv(model, path):
+        from .models.convnets import GPUNET_ARCHS
+        from .utils.torch_import import convert_gpunet, load_torch_state_dict
+
+        params, stats = convert_gpunet(load_torch_state_dict(path),
+                                       GPUNET_ARCHS[arch_name])
+        return {"params": params, "batch_stats": stats}
+
+    return conv
+
+
 _TORCH_CONVERTERS: dict[str, Callable] = {
     "resnet50": _convert_resnet50,
     "bert": _convert_bert,
+    **{a: _make_gpunet_converter(a)
+       for a in ("gpunet-0", "gpunet-1", "gpunet-2")},
 }

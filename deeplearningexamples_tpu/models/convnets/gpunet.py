@@ -12,11 +12,20 @@ re-derived). Distilled (-D) variants are out of scope (they only change
 the head/tail and training recipe).
 
 Block semantics preserved exactly: IRB = 1x1 expand (BN+act) → depthwise
-kxk (BN+act) → optional SE (squeeze width ``make_divisible(in_ch/4)``) →
-1x1 project (BN, linear), residual iff stride 1 and in==out; fused-IRB
-folds expand+depthwise into one dense kxk conv (MXU-friendly — the same
-reason the EfficientNet-X/GPUNet searches favor it on tensor cores
-applies to the MXU). BN eps 1e-3, epilogue dropout 0.2.
+kxk (BN+act) → optional SE (squeeze width ``round(mid * 0.25/expansion)``,
+``gpunet_modules.py:409-413``) → 1x1 project (BN, linear), residual iff
+stride 1 and in==out; fused-IRB folds expand+depthwise into one dense kxk
+conv (MXU-friendly — the same reason the EfficientNet-X/GPUNet searches
+favor it on tensor cores applies to the MXU). BN eps 1e-3, epilogue
+dropout 0.2, prologue act swish (``gpunet_builder.py:249`` —
+``layerConfig.get("act", "swish")`` and the released configs carry no
+head act key).
+
+Padding matches the reference exactly: the prologue / ConvBnAct / IRB
+depthwise convs use torch-style symmetric ``((s-1)+(k-1))//2`` padding
+(``gpunet_modules.py:37-39`` via ``pad_type=""``), while fused-IRB
+expansion convs use TF 'SAME' (``gpunet_builder.py:300`` passes
+``pad_type="same"``) — flax's default.
 
 TPU-first: NHWC, bf16 compute / fp32 BN + head, static shapes.
 """
@@ -144,10 +153,15 @@ class GPUNet(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-3, dtype=self.dtype)
 
+        def tpad(k, s):  # torch symmetric padding (gpunet_modules.py:37-39)
+            p = ((s - 1) + (k - 1)) // 2
+            return ((p, p), (p, p))
+
         x = x.astype(self.dtype)
-        # prologue: 3x3 s2 conv + BN + relu
-        x = conv(self.arch.stem, (3, 3), strides=(2, 2), name="stem_conv")(x)
-        x = nn.relu(norm(name="stem_bn")(x))
+        # prologue: 3x3 s2 conv (torch pad 1) + BN + swish (builder default)
+        x = conv(self.arch.stem, (3, 3), strides=(2, 2), padding=tpad(3, 2),
+                 name="stem_conv")(x)
+        x = nn.swish(norm(name="stem_bn")(x))
 
         in_ch = self.arch.stem
         for i, l in enumerate(self.arch.layers):
@@ -155,17 +169,20 @@ class GPUNet(nn.Module):
             p = f"l{i}"
             residual = x
             if l.kind == "conv":
-                # ConvBnAct: no residual (reference :257)
+                # ConvBnAct: no residual (reference :257), torch padding
                 x = conv(l.out, (l.kernel, l.kernel),
-                         strides=(l.stride, l.stride), name=f"{p}_conv")(x)
+                         strides=(l.stride, l.stride),
+                         padding=tpad(l.kernel, l.stride),
+                         name=f"{p}_conv")(x)
                 x = act(norm(name=f"{p}_bn")(x))
             elif l.kind == "fused_irb":
+                # EdgeResidual: TF 'SAME' dynamic padding (flax default)
                 mid = _make_divisible(in_ch * l.expansion)
                 x = conv(mid, (l.kernel, l.kernel),
                          strides=(l.stride, l.stride), name=f"{p}_exp")(x)
                 x = act(norm(name=f"{p}_bn1")(x))
                 if l.se:
-                    x = _SE(_make_divisible(in_ch / 4), act, self.dtype,
+                    x = _SE(round(mid * 0.25 / l.expansion), act, self.dtype,
                             name=f"{p}_se")(x)
                 x = conv(l.out, (1, 1), name=f"{p}_proj")(x)
                 x = norm(name=f"{p}_bn2")(x)
@@ -177,10 +194,11 @@ class GPUNet(nn.Module):
                 x = act(norm(name=f"{p}_bn1")(x))
                 x = conv(mid, (l.kernel, l.kernel),
                          strides=(l.stride, l.stride),
+                         padding=tpad(l.kernel, l.stride),
                          feature_group_count=mid, name=f"{p}_dw")(x)
                 x = act(norm(name=f"{p}_bn2")(x))
                 if l.se:
-                    x = _SE(_make_divisible(in_ch / 4), act, self.dtype,
+                    x = _SE(round(mid * 0.25 / l.expansion), act, self.dtype,
                             name=f"{p}_se")(x)
                 x = conv(l.out, (1, 1), name=f"{p}_pwl")(x)
                 x = norm(name=f"{p}_bn3")(x)

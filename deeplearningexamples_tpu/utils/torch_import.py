@@ -36,6 +36,8 @@ __all__ = [
     "convert_hifigan_generator",
     "convert_fastpitch",
     "convert_efficientnet",
+    "convert_gpunet",
+    "convert_maskrcnn_heads",
     "convert_moflow",
     "convert_brats_unet3d",
     "convert_efficientdet_d0",
@@ -872,6 +874,123 @@ def convert_efficientnet(sd: Mapping[str, np.ndarray], num_repeat,
     params["head_bn"], stats["head_bn"] = p, s
     params["fc"] = {"kernel": _dense(sd["classifier.fc.weight"]),
                     "bias": sd["classifier.fc.bias"]}
+    return params, stats
+
+
+def convert_maskrcnn_heads(sd: Mapping[str, np.ndarray], pool: int = 7
+                           ) -> dict:
+    """Reference Mask R-CNN FPN/RPN/ROI-head weights -> params for
+    ``models/maskrcnn.{FPN,RPNHead,BoxHead,MaskHead}``. ``sd`` merges the
+    reference modules' state_dicts under the prefixes ``fpn./rpn./box_ext./
+    box_pred./mask_ext./mask_pred.``. Re-layouts beyond plain transposes:
+    fc6's flattened input permutes (C,p,p)->(p,p,C) (the reference pools
+    NCHW and flattens channel-major, we pool NHWC); ``conv5_mask``
+    ConvTranspose2d (in,out,2,2) -> flax (2,2,in,out) with both spatial
+    axes reversed (lax.conv_transpose correlates, torch convolves).
+    Reference: ``maskrcnn_benchmark/modeling/backbone/fpn.py:15-69``,
+    ``rpn/rpn.py:15-38``, ``roi_heads/box_head/roi_box_feature_extractors
+    .py:50-82`` + ``roi_box_predictors.py:33-52``, ``roi_heads/mask_head/
+    roi_mask_feature_extractors.py:11-57`` + ``roi_mask_predictors
+    .py:10-37``."""
+    def convp(p):
+        return {"kernel": _conv(sd[f"{p}.weight"]), "bias": sd[f"{p}.bias"]}
+
+    fpn = {}
+    for i in range(4):
+        fpn[f"lateral_{i}"] = convp(f"fpn.fpn_inner{i + 1}")
+        fpn[f"out_{i}"] = convp(f"fpn.fpn_layer{i + 1}")
+    rpn = {"conv": convp("rpn.conv"), "logits": convp("rpn.cls_logits"),
+           "deltas": convp("rpn.bbox_pred")}
+    w6 = sd["box_ext.fc6.weight"]  # (fc, C*pool*pool), channel-major input
+    c = w6.shape[1] // (pool * pool)
+    w6 = (w6.reshape(-1, c, pool, pool).transpose(2, 3, 1, 0)
+          .reshape(pool * pool * c, -1))
+    box = {
+        "fc6": {"kernel": w6, "bias": sd["box_ext.fc6.bias"]},
+        "fc7": {"kernel": _dense(sd["box_ext.fc7.weight"]),
+                "bias": sd["box_ext.fc7.bias"]},
+        "cls": {"kernel": _dense(sd["box_pred.cls_score.weight"]),
+                "bias": sd["box_pred.cls_score.bias"]},
+        "box": {"kernel": _dense(sd["box_pred.bbox_pred.weight"]),
+                "bias": sd["box_pred.bbox_pred.bias"]},
+    }
+    mask = {}
+    for i in range(4):
+        mask[f"fcn{i}"] = convp(f"mask_ext.mask_fcn{i + 1}")
+    wt = sd["mask_pred.conv5_mask.weight"]  # (in, out, 2, 2)
+    mask["deconv"] = {
+        "kernel": np.ascontiguousarray(
+            np.transpose(wt, (2, 3, 0, 1))[::-1, ::-1]),
+        "bias": sd["mask_pred.conv5_mask.bias"],
+    }
+    mask["predict"] = convp("mask_pred.mask_fcn_logits")
+    return {"fpn": fpn, "rpn": rpn, "box": box, "mask": mask}
+
+
+def convert_gpunet(sd: Mapping[str, np.ndarray], arch) -> tuple[dict, dict]:
+    """Reference GPUNet state_dict (``Classification/GPUNet/models/
+    gpunet_builder.py:228-311`` ``_get_model`` over the released
+    batch1/GV100 configs) -> (params, batch_stats) for
+    ``models/convnets/GPUNet``. The reference net is one ``nn.Sequential``
+    whose child names embed stage/counter strings; children are matched
+    positionally against ``arch.layers`` (child 0 = Prologue, last =
+    Epilogue, the order *is* the architecture)."""
+    children: dict[str, dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        child, sub = k.removeprefix("network.").split(".", 1)
+        children.setdefault(child, {})[sub] = v
+    order = list(children.values())
+    if len(order) != len(arch.layers) + 2:
+        raise ValueError(f"GPUNet child count {len(order)} != "
+                         f"{len(arch.layers)} layers + head + tail")
+
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(csd, src):
+        p = {"scale": csd[f"{src}.weight"], "bias": csd[f"{src}.bias"]}
+        s = {"mean": csd[f"{src}.running_mean"],
+             "var": csd[f"{src}.running_var"]}
+        return p, s
+
+    def se(csd):  # SqueezeExcite 1x1 convs -> our Dense pair
+        return {
+            "reduce": {"kernel": csd["se.conv_reduce.weight"][:, :, 0, 0].T,
+                       "bias": csd["se.conv_reduce.bias"]},
+            "expand": {"kernel": csd["se.conv_expand.weight"][:, :, 0, 0].T,
+                       "bias": csd["se.conv_expand.bias"]},
+        }
+
+    head = order[0]
+    params["stem_conv"] = {"kernel": _conv(head["net.0.weight"])}
+    params["stem_bn"], stats["stem_bn"] = bn(head, "net.1")
+    for i, l in enumerate(arch.layers):
+        csd = order[i + 1]
+        p = f"l{i}"
+        if l.kind == "conv":
+            params[f"{p}_conv"] = {"kernel": _conv(csd["conv.weight"])}
+            params[f"{p}_bn"], stats[f"{p}_bn"] = bn(csd, "bn1")
+        elif l.kind == "fused_irb":
+            params[f"{p}_exp"] = {"kernel": _conv(csd["conv_exp.weight"])}
+            params[f"{p}_bn1"], stats[f"{p}_bn1"] = bn(csd, "bn1")
+            if l.se:
+                params[f"{p}_se"] = se(csd)
+            params[f"{p}_proj"] = {"kernel": _conv(csd["conv_pwl.weight"])}
+            params[f"{p}_bn2"], stats[f"{p}_bn2"] = bn(csd, "bn2")
+        else:  # irb
+            params[f"{p}_pw"] = {"kernel": _conv(csd["conv_pw.weight"])}
+            params[f"{p}_bn1"], stats[f"{p}_bn1"] = bn(csd, "bn1")
+            params[f"{p}_dw"] = {"kernel": _conv(csd["conv_dw.weight"])}
+            params[f"{p}_bn2"], stats[f"{p}_bn2"] = bn(csd, "bn2")
+            if l.se:
+                params[f"{p}_se"] = se(csd)
+            params[f"{p}_pwl"] = {"kernel": _conv(csd["conv_pwl.weight"])}
+            params[f"{p}_bn3"], stats[f"{p}_bn3"] = bn(csd, "bn3")
+    tail = order[-1]
+    params["head_conv"] = {"kernel": _conv(tail["net.0.weight"])}
+    params["head_bn"], stats["head_bn"] = bn(tail, "net.1")
+    params["fc"] = {"kernel": _dense(tail["net.6.weight"]),
+                    "bias": tail["net.6.bias"]}
     return params, stats
 
 

@@ -1640,3 +1640,364 @@ def test_bart_forward_and_loss_parity(bart_ref):
     ce = 0.9 * nll + 0.1 * smooth
     want = float((ce * valid).sum() / valid.sum())
     assert abs(float(loss) - want) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# GPUNet — Classification/GPUNet/models/gpunet_modules.py + gpunet_builder.py
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def gpunet_mod():
+    """Load the reference ``gpunet_modules.py`` directly (it has no relative
+    imports). Its only third-party need is ``timm.models.layers
+    .create_act_layer`` — stubbed with the trivial class-instantiator (timm
+    passes nn.ReLU/nn.SiLU/nn.Sigmoid classes here; no model math)."""
+    if "timm" not in sys.modules:
+        timm = _stub_module("timm")
+        tm = _stub_module("timm.models")
+        tml = _stub_module("timm.models.layers")
+
+        def create_act_layer(act, inplace=False, **kw):
+            if act is None:
+                return torch.nn.Identity()
+            try:
+                return act(inplace=inplace)
+            except TypeError:
+                return act()
+
+        tml.create_act_layer = create_act_layer
+        timm.models, tm.layers = tm, tml
+        sys.modules.update({"timm": timm, "timm.models": tm,
+                            "timm.models.layers": tml})
+    import importlib.util
+    path = REF + "/Classification/GPUNet/models/gpunet_modules.py"
+    spec = importlib.util.spec_from_file_location("ref_gpunet_modules", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _build_ref_gpunet(mod, cfg_path: str, num_classes: int):
+    """Replicate ``gpunet_builder.py:228-311`` ``_get_model`` over a released
+    layer-config JSON (the builder itself drags in timm.data/helpers at
+    module scope; the construction logic is these exact per-type calls)."""
+    import json
+    from collections import OrderedDict
+
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    layers: "OrderedDict[str, torch.nn.Module]" = OrderedDict()
+    for i, lc in enumerate(cfg):
+        t = lc["layer_type"]
+        if t == "data":
+            continue
+        if t == "head":  # builder :248-253 (act defaults to swish)
+            m = mod.Prologue(lc["num_in_channels"], lc["num_out_channels"],
+                             act_layer=lc.get("act", "swish"))
+        elif t == "conv":  # builder :265-273
+            m = mod.ConvBnAct(lc["num_in_channels"], lc["num_out_channels"],
+                              kernel_size=lc["kernel_size"],
+                              stride=lc["stride"], act_layer=lc["act"])
+        elif t == "irb":  # builder :277-287
+            m = mod.InvertedResidual(
+                lc["num_in_channels"], lc["num_out_channels"],
+                dw_kernel_size=lc["kernel_size"], stride=lc["stride"],
+                exp_ratio=lc["expansion"], use_se=lc["use_se"],
+                act_layer=lc["act"])
+        elif t == "fused_irb":  # builder :291-303 (pad_type="same")
+            m = mod.EdgeResidual(
+                lc["num_in_channels"], lc["num_out_channels"],
+                exp_kernel_size=lc["kernel_size"], stride=lc["stride"],
+                dilation=1, pad_type="same", exp_ratio=lc["expansion"],
+                use_se=lc["use_se"], act_layer=lc["act"])
+        elif t == "tail":  # builder :255-261
+            m = mod.Epilogue(lc["num_in_channels"], lc["num_out_channels"],
+                             num_classes)
+        else:
+            raise AssertionError(t)
+        layers[f"m{i}"] = m
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.network = torch.nn.Sequential(layers)
+
+        def forward(self, x):
+            return self.network(x)
+
+    return Net()
+
+
+_GPUNET_CFGS = {
+    "gpunet-0": "0.65ms.json",   # convs + fused-IRB + IRB(+SE)
+    "gpunet-2": "1.75ms.json",   # adds the SE fused-IRB + k5 IRBs
+}
+
+
+@pytest.mark.parametrize("name", sorted(_GPUNET_CFGS))
+def test_gpunet_forward_parity(gpunet_mod, name):
+    """Reference GPUNet (built per the released batch1/GV100 config, seeded,
+    eval, randomized BN stats) -> convert_gpunet -> our GPUNet must
+    reproduce logits — covering the swish prologue, torch-padded stride-2
+    depthwise convs, TF-SAME fused-IRB expansion, and the
+    round(mid*0.25/exp) SE widths."""
+    from deeplearningexamples_tpu.models.convnets import GPUNET_ARCHS, GPUNet
+    from deeplearningexamples_tpu.utils.torch_import import convert_gpunet
+
+    cfg_path = (REF + "/Classification/GPUNet/configs/batch1/GV100/"
+                + _GPUNET_CFGS[name])
+    seed_all(0)
+    ref = _build_ref_gpunet(gpunet_mod, cfg_path, num_classes=11).eval()
+    randomize_bn_stats(ref)
+
+    arch = GPUNET_ARCHS[name]
+    model = GPUNet(arch, num_classes=11, dtype=jnp.float32)
+    params, stats = convert_gpunet(sd_numpy(ref), arch)
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    ours = model.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_logits,
+                               atol=5e-4, rtol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mask R-CNN heads — Segmentation/MaskRCNN/pytorch/maskrcnn_benchmark/modeling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mrcnn_ref():
+    """Import the reference maskrcnn_benchmark head modules on CPU. Two
+    stubs, neither carrying model math: ``maskrcnn_benchmark._C`` (the CUDA
+    extension — only ``_C.nms`` is touched at import time, never called
+    here) and ``yacs.config.CfgNode`` (an attribute-dict; ``defaults.py``
+    is pure assignments)."""
+    root = REF + "/Segmentation/MaskRCNN/pytorch"
+
+    if "yacs" not in sys.modules:
+        class _CN(dict):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        yacs = _stub_module("yacs")
+        ycfg = _stub_module("yacs.config")
+        ycfg.CfgNode = _CN
+        yacs.config = ycfg
+        sys.modules.update({"yacs": yacs, "yacs.config": ycfg})
+
+    if "maskrcnn_benchmark._C" not in sys.modules:
+        c = _stub_module("maskrcnn_benchmark._C")
+        c.nms = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("_C stub called"))
+        sys.modules["maskrcnn_benchmark._C"] = c
+
+    sys.path.insert(0, root)
+    try:
+        from maskrcnn_benchmark.config import cfg
+        from maskrcnn_benchmark.modeling.backbone.fpn import (
+            FPN as RefFPN, LastLevelMaxPool,
+        )
+        from maskrcnn_benchmark.modeling.make_layers import (
+            conv_with_kaiming_uniform,
+        )
+        from maskrcnn_benchmark.modeling.roi_heads.box_head import (
+            roi_box_feature_extractors as box_ext,
+            roi_box_predictors as box_pred,
+        )
+        from maskrcnn_benchmark.modeling.roi_heads.mask_head import (
+            roi_mask_feature_extractors as mask_ext,
+            roi_mask_predictors as mask_pred,
+        )
+        from maskrcnn_benchmark.modeling.rpn import rpn as ref_rpn
+        yield types.SimpleNamespace(
+            cfg=cfg, RefFPN=RefFPN, LastLevelMaxPool=LastLevelMaxPool,
+            conv_block=conv_with_kaiming_uniform, box_ext=box_ext,
+            box_pred=box_pred, mask_ext=mask_ext, mask_pred=mask_pred,
+            rpn=ref_rpn)
+    finally:
+        sys.path.remove(root)
+
+
+class _IdentityPooler(torch.nn.Module):
+    """Replaces the reference Pooler so the heads run on pre-pooled
+    features (the ROIAlign CUDA kernel isn't available on CPU; our
+    roi_align has its own oracle tests in test_maskrcnn.py)."""
+
+    def forward(self, x, proposals):
+        return x[0]
+
+
+def test_maskrcnn_fpn_and_rpn_head_parity(mrcnn_ref):
+    """Reference FPN (lateral 1x1 + 3x3 outputs + LastLevelMaxPool) and the
+    shared RPN head, seeded -> convert_maskrcnn_heads -> our FPN/RPNHead
+    must reproduce all five pyramid levels and the per-level
+    objectness/delta maps."""
+    from deeplearningexamples_tpu.models.maskrcnn import FPN, RPNHead
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_maskrcnn_heads,
+    )
+
+    r = mrcnn_ref
+    seed_all(0)
+    chans = (32, 64, 128, 256)
+    width = 48
+    ref_fpn = r.RefFPN(in_channels_list=list(chans), out_channels=width,
+                       conv_block=r.conv_block(False, False),
+                       top_blocks=r.LastLevelMaxPool()).eval()
+    ref_rpn = r.rpn.RPNHead(r.cfg, width, 3).eval()
+    for p in ref_rpn.parameters():  # init is zeros-bias/normal; make real
+        torch.nn.init.uniform_(p, -0.1, 0.1)
+
+    sd = {f"fpn.{k}": v for k, v in sd_numpy(ref_fpn).items()}
+    sd.update({f"rpn.{k}": v for k, v in sd_numpy(ref_rpn).items()})
+    # dummy ROI-head keys so the converter's full walk succeeds
+    params = None
+    rng = np.random.default_rng(3)
+    feats = [rng.standard_normal((2, 32 // (2 ** i), 32 // (2 ** i), c))
+             .astype(np.float32) for i, c in enumerate(chans)]
+
+    with torch.no_grad():
+        ref_p = ref_fpn([torch.tensor(np.transpose(f, (0, 3, 1, 2)))
+                         for f in feats])
+        ref_logits, ref_deltas = ref_rpn(ref_p)
+
+    # convert only the fpn/rpn sections (converter needs box/mask keys too —
+    # give it zero-filled minimal ones and discard those sections)
+    pool = 7
+    zeros = {
+        "box_ext.fc6.weight": np.zeros((8, width * pool * pool), np.float32),
+        "box_ext.fc6.bias": np.zeros(8, np.float32),
+        "box_ext.fc7.weight": np.zeros((8, 8), np.float32),
+        "box_ext.fc7.bias": np.zeros(8, np.float32),
+        "box_pred.cls_score.weight": np.zeros((2, 8), np.float32),
+        "box_pred.cls_score.bias": np.zeros(2, np.float32),
+        "box_pred.bbox_pred.weight": np.zeros((8, 8), np.float32),
+        "box_pred.bbox_pred.bias": np.zeros(8, np.float32),
+        **{f"mask_ext.mask_fcn{i + 1}.{s}": np.zeros(
+            (4, 4, 3, 3), np.float32) if s == "weight" else
+            np.zeros(4, np.float32) for i in range(4) for s in
+            ("weight", "bias")},
+        "mask_pred.conv5_mask.weight": np.zeros((4, 4, 2, 2), np.float32),
+        "mask_pred.conv5_mask.bias": np.zeros(4, np.float32),
+        "mask_pred.mask_fcn_logits.weight": np.zeros((2, 4, 1, 1),
+                                                     np.float32),
+        "mask_pred.mask_fcn_logits.bias": np.zeros(2, np.float32),
+    }
+    params = convert_maskrcnn_heads({**sd, **zeros}, pool=pool)
+
+    ours_fpn = FPN(width, dtype=jnp.float32)
+    ours_p = ours_fpn.apply({"params": params["fpn"]},
+                            [jnp.asarray(f) for f in feats])
+    assert len(ours_p) == 5
+    for ref_t, our_t in zip(ref_p, ours_p):
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(our_t), (0, 3, 1, 2)), ref_t.numpy(),
+            atol=2e-4, rtol=2e-4)
+
+    ours_rpn = RPNHead(3, dtype=jnp.float32)
+    our_logits, our_deltas = ours_rpn.apply(
+        {"params": params["rpn"]}, ours_p)
+    for lvl in range(5):
+        # ref maps are (B, A, H, W) / (B, 4A, H, W); ours are flattened
+        # (h, w, a)-major with 4 innermost for deltas
+        rl = np.transpose(ref_logits[lvl].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(
+            np.asarray(our_logits[lvl]), rl.reshape(rl.shape[0], -1),
+            atol=2e-4, rtol=2e-4)
+        b, a4, h, w = ref_deltas[lvl].shape
+        rd = (ref_deltas[lvl].numpy().reshape(b, a4 // 4, 4, h, w)
+              .transpose(0, 3, 4, 1, 2).reshape(b, -1, 4))
+        np.testing.assert_allclose(np.asarray(our_deltas[lvl]), rd,
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_maskrcnn_box_and_mask_head_parity(mrcnn_ref):
+    """Reference FPN2MLP box head + FPNPredictor and MaskRCNNFPN mask head
+    + C4 predictor on pre-pooled features -> convert_maskrcnn_heads -> our
+    BoxHead/MaskHead must reproduce class logits, box deltas, and mask
+    logits (exercising the NCHW->NHWC fc6 flatten permute and the
+    ConvTranspose kernel flip)."""
+    from deeplearningexamples_tpu.models.maskrcnn import BoxHead, MaskHead
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_maskrcnn_heads,
+    )
+
+    r = mrcnn_ref
+    seed_all(1)
+    width, fc_dim, ncls, pool = 48, 96, 7, 7
+    cfg = r.cfg
+    cfg.MODEL.BACKBONE.OUT_CHANNELS = width
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = pool
+    cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM = fc_dim
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = ncls
+    cfg.MODEL.ROI_HEADS.USE_FPN = True
+    cfg.NHWC = False
+
+    ref_ext = r.box_ext.FPN2MLPFeatureExtractor(cfg).eval()
+    ref_ext.pooler = _IdentityPooler()
+    ref_prd = r.box_pred.FPNPredictor(cfg).eval()
+    ref_mext = r.mask_ext.MaskRCNNFPNFeatureExtractor(cfg).eval()
+    ref_mext.pooler = _IdentityPooler()
+    ref_mprd = r.mask_pred.MaskRCNNC4Predictor(cfg).eval()
+    for m in (ref_prd, ref_mprd):  # zero-bias init -> randomize
+        for p in m.parameters():
+            torch.nn.init.uniform_(p, -0.1, 0.1)
+
+    sd = {f"box_ext.{k}": v for k, v in sd_numpy(ref_ext).items()}
+    sd.update({f"box_pred.{k}": v for k, v in sd_numpy(ref_prd).items()})
+    sd.update({f"mask_ext.{k}": v for k, v in sd_numpy(ref_mext).items()})
+    sd.update({f"mask_pred.{k}": v for k, v in sd_numpy(ref_mprd).items()})
+    # minimal fpn/rpn keys for the converter's full walk
+    for i in range(4):
+        sd[f"fpn.fpn_inner{i + 1}.weight"] = np.zeros((4, 4, 1, 1),
+                                                      np.float32)
+        sd[f"fpn.fpn_inner{i + 1}.bias"] = np.zeros(4, np.float32)
+        sd[f"fpn.fpn_layer{i + 1}.weight"] = np.zeros((4, 4, 3, 3),
+                                                      np.float32)
+        sd[f"fpn.fpn_layer{i + 1}.bias"] = np.zeros(4, np.float32)
+    for name in ("conv", "cls_logits", "bbox_pred"):
+        sd[f"rpn.{name}.weight"] = np.zeros((4, 4, 1, 1), np.float32)
+        sd[f"rpn.{name}.bias"] = np.zeros(4, np.float32)
+    params = convert_maskrcnn_heads(sd, pool=pool)
+
+    rng = np.random.default_rng(4)
+    pooled7 = rng.standard_normal((6, pool, pool, width)).astype(np.float32)
+    pooled14 = rng.standard_normal((6, 14, 14, width)).astype(np.float32)
+
+    with torch.no_grad():
+        feats = ref_ext([torch.tensor(np.transpose(pooled7, (0, 3, 1, 2)))],
+                        None)
+        ref_cls, ref_box = ref_prd(feats)
+        mfeat = ref_mext([torch.tensor(np.transpose(pooled14, (0, 3, 1, 2)))],
+                         None)
+        ref_masks = ref_mprd(mfeat)
+
+    ours_box = BoxHead(ncls, fc_dim, dtype=jnp.float32)
+    our_cls, our_box = ours_box.apply({"params": params["box"]},
+                                      jnp.asarray(pooled7))
+    np.testing.assert_allclose(np.asarray(our_cls), ref_cls.numpy(),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(our_box), ref_box.numpy().reshape(-1, ncls, 4),
+        atol=2e-4, rtol=2e-4)
+
+    ours_mask = MaskHead(ncls, dtype=jnp.float32)
+    our_masks = ours_mask.apply({"params": params["mask"]},
+                                jnp.asarray(pooled14))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(our_masks), (0, 3, 1, 2)),
+        ref_masks.numpy(), atol=2e-4, rtol=2e-4)
