@@ -240,7 +240,10 @@ def _device_loop_time(apply_fn, x, iters):
     @jax.jit
     def run(x):
         def body(_, acc):
-            out = apply_fn(x)
+            # acc feeds the input: a true loop-carried dependency, or XLA
+            # hoists the whole model out of the loop as loop-invariant and
+            # the "loop" times one forward + iters adds (measured: it does)
+            out = apply_fn(x + jnp.float32(1e-12) * acc)
             return acc + jnp.sum(out.astype(jnp.float32))
         return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

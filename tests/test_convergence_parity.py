@@ -516,3 +516,151 @@ def test_bert_mlm_overfit_fixture():
     final = float(metrics["loss"])
     # one fixture batch must be memorizable: ln(1000)~6.9 at init -> < 0.5
     assert final < 0.5, f"failed to overfit: first={first:.3f} final={final:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# Fixed-seed overfit proofs for the remaining flagships (BERT's is above):
+# a tiny fixture batch must be memorizable end-to-end through each family's
+# real task loss + train step. No reference needed — these pin that the
+# whole gradient path (custom VJPs included) can actually drive the loss to
+# the floor, the failure mode forward parity can't see.
+# ---------------------------------------------------------------------------
+
+
+def _overfit(task, tx, batch, steps, init_kwargs=None, seed=0):
+    from deeplearningexamples_tpu.core.train import (
+        create_train_state, make_train_step,
+    )
+
+    params, mstate = task.init(jax.random.key(seed), **(init_kwargs or {}))
+    state = create_train_state(params, tx, jax.random.key(seed + 1), mstate)
+    step = make_train_step(task.loss_fn, tx)
+    first = None
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    return first, float(metrics["loss"])
+
+
+def test_resnet_tiny_overfit_fixture():
+    from deeplearningexamples_tpu.models.convnets import ClassificationTask
+    from deeplearningexamples_tpu.models.convnets.resnet import (
+        ResNet, ResNetArch,
+    )
+
+    arch = ResNetArch(block="basic", layers=(1, 1, 1, 1),
+                      widths=(8, 8, 16, 16), expansion=1)
+    task = ClassificationTask(ResNet(arch, num_classes=4, dtype=jnp.float32),
+                              num_classes=4, label_smoothing=0.0)
+    rng = np.random.default_rng(70)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(8, 32, 32, 3))
+                             .astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 4, 8).astype(np.int32)),
+    }
+    first, final = _overfit(
+        task, optax.sgd(0.1, momentum=0.9), batch, steps=150,
+        init_kwargs={"image_shape": (32, 32, 3)})
+    # ln(4) ~= 1.39 at init -> memorized
+    assert final < 0.05, f"failed to overfit: {first:.3f} -> {final:.3f}"
+
+
+def test_dlrm_overfit_fixture():
+    from deeplearningexamples_tpu.models.dlrm.model import DlrmConfig
+    from deeplearningexamples_tpu.models.dlrm.task import DlrmTask
+
+    cfg = DlrmConfig(categorical_cardinalities=(30, 20, 10, 50),
+                     embedding_dim=16, num_numerical=4,
+                     bottom_mlp=(32, 16), top_mlp=(32, 16, 1))
+    task = DlrmTask(cfg, jnp.float32)
+    rng = np.random.default_rng(71)
+    b = 32
+    batch = {
+        "numerical": jnp.asarray(rng.normal(size=(b, 4)).astype(np.float32)),
+        "categorical": jnp.asarray(np.stack([
+            rng.integers(0, c, b) for c in cfg.categorical_cardinalities
+        ], axis=1).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, b).astype(np.float32)),
+    }
+    first, final = _overfit(task, optax.adam(5e-3), batch, steps=300)
+    assert final < 0.05, f"failed to overfit: {first:.3f} -> {final:.3f}"
+
+
+def test_ssd300_overfit_fixture():
+    """Full SSD300 must halve its multibox loss on one fixed image in 30
+    SGD steps (full 300x300 through the truncated-RN50 backbone; near-zero
+    is out of reach in 30 steps, the halving pins trainability)."""
+    from deeplearningexamples_tpu.models.ssd import SSDTask
+
+    task = SSDTask(dtype=jnp.float32, color_jitter=False)
+    rng = np.random.default_rng(72)
+    n = 8732
+    glabel = np.zeros((1, n), np.int32)
+    glabel[0, rng.choice(n, 16, replace=False)] = rng.integers(1, 81, 16)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(1, 300, 300, 3))
+                             .astype(np.float32)),
+        "loc_targets": jnp.asarray(0.05 * rng.normal(size=(1, n, 4))
+                                   .astype(np.float32)),
+        "cls_targets": jnp.asarray(glabel),
+    }
+    first, final = _overfit(task, optax.sgd(2e-3, momentum=0.9), batch,
+                            steps=30)
+    assert final < 0.55 * first, (
+        f"failed to overfit: {first:.3f} -> {final:.3f}")
+
+
+def test_tacotron2_overfit_fixture():
+    from deeplearningexamples_tpu.models.tts.tacotron2 import Tacotron2Config
+    from deeplearningexamples_tpu.models.tts.task import Tacotron2Task
+
+    cfg = Tacotron2Config(
+        symbols_embedding_dim=64, encoder_embedding_dim=64,
+        attention_rnn_dim=64, decoder_rnn_dim=64, prenet_dim=32,
+        attention_dim=32, attention_location_n_filters=4,
+        postnet_embedding_dim=64,
+    )
+    task = Tacotron2Task(cfg, jnp.float32)
+    rng = np.random.default_rng(73)
+    b, tl, ml = 2, 8, 16
+    # structured (low-rank sinusoid + small noise) mel: pure-noise targets
+    # are not memorizable through the always-on prenet dropout in few steps
+    t = np.arange(ml)[None, :, None]
+    f = np.arange(80)[None, None, :]
+    mel = (0.8 * np.sin(0.3 * t + 0.05 * f)
+           + 0.2 * rng.normal(size=(b, ml, 80))).astype(np.float32)
+    batch = {
+        "text": jnp.asarray(rng.integers(1, 148, (b, tl)).astype(np.int32)),
+        "text_lengths": jnp.full((b,), tl, jnp.int32),
+        "mel": jnp.asarray(mel),
+        "mel_lengths": jnp.full((b,), ml, jnp.int32),
+    }
+    first, final = _overfit(
+        task, optax.adam(3e-3), batch, steps=300,
+        init_kwargs={"text_len": tl, "mel_len": ml, "batch": b})
+    # measured 0.079x at 300 steps; 0.15x leaves seed margin
+    assert final < 0.15 * first, (
+        f"failed to overfit: {first:.3f} -> {final:.3f}")
+
+
+def test_waveglow_overfit_fixture():
+    from deeplearningexamples_tpu.models.tts.waveglow import WaveGlowConfig
+    from deeplearningexamples_tpu.models.tts.task import WaveGlowTask
+
+    cfg = WaveGlowConfig(n_flows=2, n_early_every=2, wn_n_layers=2,
+                         wn_n_channels=32, segment_length=1024)
+    task = WaveGlowTask(cfg, jnp.float32)
+    rng = np.random.default_rng(74)
+    t_mel = cfg.segment_length // cfg.hop_length + 1
+    batch = {
+        "audio": jnp.asarray(rng.normal(size=(2, cfg.segment_length))
+                             .astype(np.float32)),
+        "mel": jnp.asarray(rng.normal(size=(2, t_mel, 80))
+                           .astype(np.float32)),
+    }
+    first, final = _overfit(task, optax.adam(1e-3), batch, steps=120,
+                            init_kwargs={"batch": 2})
+    # the flow NLL is unbounded below; require a solid absolute drop
+    assert final < first - 1.0, (
+        f"failed to overfit: {first:.3f} -> {final:.3f}")
