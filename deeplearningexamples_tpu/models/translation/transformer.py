@@ -33,6 +33,16 @@ class TransformerConfig:
     encoder_layers: int = 6
     decoder_layers: int = 6
     dropout: float = 0.1
+    # the reference base arch (``transformer.py:562-563``) defaults both to
+    # 0; the big_t2t recipe raises them to 0.1
+    attention_dropout: float = 0.0
+    relu_dropout: float = 0.0
+    # fairseq MultiheadAttention is bias-free (``multihead_attention.py:259``
+    # ``bias=False`` default, out_proj too); BART's HF layout keeps biases
+    attn_bias: bool = False
+    # the reference data pipeline left-pads source, right-pads target
+    # (``TransformerEncoder(..., left_pad=True)`` / decoder ``left_pad=False``)
+    left_pad_src: bool = True
     max_len: int = 256
     label_smoothing: float = 0.1
     pad_id: int = 1
@@ -44,13 +54,34 @@ class TransformerConfig:
         return ((self.vocab_size + 127) // 128) * 128
 
 
-def sinusoidal_positions(max_len: int, d: int) -> np.ndarray:
-    pos = np.arange(max_len)[:, None]
-    div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
-    out = np.zeros((max_len, d), np.float32)
-    out[:, 0::2] = np.sin(pos * div)
-    out[:, 1::2] = np.cos(pos * div)
+def sinusoidal_positions(max_len: int, d: int, pad_id: int = 1) -> np.ndarray:
+    """fairseq/t2t sinusoid table (``sinusoidal_positional_embedding.py:40``):
+    rows are position IDS (pads point at row ``pad_id``, which is zeroed;
+    real tokens start at ``pad_id + 1``), layout is [sin | cos] concatenated
+    over ``half_dim`` frequencies with the ``1/(half_dim-1)`` log-spacing —
+    NOT the interleaved layout of the paper."""
+    rows = max_len + pad_id + 1
+    half = d // 2
+    freq = np.exp(np.arange(half) * (-np.log(10000.0) / (half - 1)))
+    ang = np.arange(rows)[:, None] * freq[None, :]
+    out = np.concatenate([np.sin(ang), np.cos(ang)], axis=1).astype(np.float32)
+    if d % 2:
+        out = np.concatenate([out, np.zeros((rows, 1), np.float32)], axis=1)
+    out[pad_id] = 0.0
     return out
+
+
+def fairseq_position_ids(ids: jax.Array, pad_id: int, left_pad: bool) -> jax.Array:
+    """Position ids per ``fairseq.utils.make_positions``: non-pad tokens get
+    ``pad_id + 1 + index`` counted over the sequence slot; with left padding
+    the count is shifted so the FIRST real token lands on ``pad_id + 1``.
+    Pad slots point at the zeroed table row."""
+    seq = ids.shape[1]
+    mask = ids != pad_id
+    pos = jnp.arange(pad_id + 1, pad_id + 1 + seq, dtype=jnp.int32)[None, :]
+    if left_pad:
+        pos = pos - seq + jnp.sum(mask, axis=1, keepdims=True).astype(jnp.int32)
+    return jnp.where(mask, pos, pad_id)
 
 
 class MHA(nn.Module):
@@ -65,9 +96,19 @@ class MHA(nn.Module):
         hd = cfg.d_model // h
         b, sq, _ = q_in.shape
         sk = kv_in.shape[1]
-        q = nn.Dense(cfg.d_model, dtype=self.dtype, name="q")(q_in)
-        k = nn.Dense(cfg.d_model, dtype=self.dtype, name="k")(kv_in)
-        v = nn.Dense(cfg.d_model, dtype=self.dtype, name="v")(kv_in)
+        # BART's HF layout keeps attention biases; the fairseq NMT reference
+        # is bias-free (attn_bias=False in TransformerConfig)
+        bias = bool(getattr(cfg, "attn_bias", True))
+        q = nn.Dense(cfg.d_model, dtype=self.dtype, use_bias=bias, name="q")(q_in)
+        k = nn.Dense(cfg.d_model, dtype=self.dtype, use_bias=bias, name="k")(kv_in)
+        v = nn.Dense(cfg.d_model, dtype=self.dtype, use_bias=bias, name="v")(kv_in)
+        attn_rate = float(getattr(cfg, "attention_dropout", 0.0))
+        attn_seed = 0
+        if attn_rate > 0.0 and not deterministic:
+            attn_seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max)
+        else:
+            attn_rate = 0.0
 
         if decode and self.causal:
             # incremental decoding: one query token; K/V appended to a cache
@@ -96,9 +137,11 @@ class MHA(nn.Module):
             ctx = flash_attention(
                 heads(q, sq), heads(k, sk), heads(v, sk),
                 key_mask=kv_mask, causal=self.causal,
+                dropout_rate=attn_rate, dropout_seed=attn_seed,
             )
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, cfg.d_model)
-        out = nn.Dense(cfg.d_model, dtype=self.dtype, name="out")(ctx)
+        out = nn.Dense(cfg.d_model, dtype=self.dtype, use_bias=bias,
+                       name="out")(ctx)
         return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
 
@@ -125,7 +168,10 @@ class Block(nn.Module):
             x = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(x + c)
         y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(x)
         y = nn.relu(y)
-        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        # the reference uses a SEPARATE relu_dropout rate here (0 in the
+        # base arch, 0.1 in big_t2t) — transformer.py:391-392
+        y = nn.Dropout(float(getattr(cfg, "relu_dropout", cfg.dropout)))(
+            y, deterministic=deterministic)
         y = nn.Dense(cfg.d_model, dtype=self.dtype, name="ff2")(y)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + y)
@@ -137,12 +183,19 @@ class Transformer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        def embed_init(key, shape, dtype):
+            # N(0, d^-0.5) with a zeroed pad row (reference Embedding(),
+            # transformer.py:506-510)
+            w = nn.initializers.normal(cfg.d_model**-0.5)(key, shape, dtype)
+            return w.at[cfg.pad_id].set(0.0)
+
         self.embed = nn.Embed(
             cfg.padded_vocab, cfg.d_model,
-            embedding_init=nn.initializers.normal(cfg.d_model**-0.5),
+            embedding_init=embed_init,
             dtype=self.dtype,
         )
-        self.pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model))
+        self.pos = jnp.asarray(
+            sinusoidal_positions(cfg.max_len, cfg.d_model, cfg.pad_id))
         self.enc_layers = [
             Block(cfg, False, False, self.dtype, name=f"enc_{i}")
             for i in range(cfg.encoder_layers)
@@ -153,24 +206,28 @@ class Transformer(nn.Module):
         ]
         self.drop = nn.Dropout(cfg.dropout)
 
-    def _embed(self, ids, deterministic):
+    def _embed(self, ids, deterministic, left_pad):
         cfg = self.cfg
         x = self.embed(ids) * jnp.asarray(cfg.d_model**0.5, self.dtype)
-        x = x + self.pos[None, : ids.shape[1]].astype(self.dtype)
+        pos_ids = fairseq_position_ids(ids, cfg.pad_id, left_pad)
+        x = x + jnp.take(self.pos, pos_ids, axis=0).astype(self.dtype)
         return self.drop(x, deterministic=deterministic)
 
     def encode(self, src_ids, deterministic: bool = True):
         mask = (src_ids != self.cfg.pad_id).astype(jnp.int32)
-        x = self._embed(src_ids, deterministic)
+        x = self._embed(src_ids, deterministic,
+                        left_pad=self.cfg.left_pad_src)
         for layer in self.enc_layers:
             x = layer(x, mask, None, None, deterministic)
         return x, mask
 
     def decode(self, tgt_ids, memory, memory_mask, deterministic: bool = True):
-        x = self._embed(tgt_ids, deterministic)
-        tgt_mask = (tgt_ids != self.cfg.pad_id).astype(jnp.int32)
+        x = self._embed(tgt_ids, deterministic, left_pad=False)
+        # reference decoder self-attention is causal-only (no key padding
+        # mask, transformer.py:448-453): targets are right-padded, so valid
+        # queries never see a pad key anyway
         for layer in self.dec_layers:
-            x = layer(x, tgt_mask, memory, memory_mask, deterministic)
+            x = layer(x, None, memory, memory_mask, deterministic)
         # tied output projection
         logits = jax.lax.dot_general(
             x, self.embed.embedding.astype(self.dtype),
@@ -183,7 +240,10 @@ class Transformer(nn.Module):
         Requires a mutable "cache" collection (see ``beam_search_cached``)."""
         cfg = self.cfg
         x = self.embed(token[:, None]) * jnp.asarray(cfg.d_model**0.5, self.dtype)
-        x = x + jax.lax.dynamic_slice_in_dim(self.pos, pos, 1)[None].astype(self.dtype)
+        # incremental position row: pad_id + tokens-so-far (fairseq
+        # sinusoidal_positional_embedding.py:73)
+        x = x + jax.lax.dynamic_slice_in_dim(
+            self.pos, pos + cfg.pad_id + 1, 1)[None].astype(self.dtype)
         ones = jnp.ones((x.shape[0], 1), jnp.int32)
         for layer in self.dec_layers:
             x = layer(x, ones, memory, memory_mask, True, decode=True)

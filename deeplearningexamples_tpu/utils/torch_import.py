@@ -44,6 +44,7 @@ __all__ = [
     "convert_transformer_xl",
     "convert_wav2vec2",
     "convert_bart",
+    "convert_nmt_transformer",
 ]
 
 
@@ -1395,6 +1396,62 @@ def convert_bart(sd: Mapping[str, np.ndarray], enc_layers: int,
                     "bias": sd[f"{src}.fc1.bias"]},
             "ff2": {"kernel": dense(sd[f"{src}.fc2.weight"]),
                     "bias": sd[f"{src}.fc2.bias"]},
+            "ln2": ln(f"{src}.final_layer_norm"),
+        }
+    return params
+
+
+def convert_nmt_transformer(sd: Mapping[str, np.ndarray], enc_layers: int,
+                            dec_layers: int, padded_vocab: int) -> dict:
+    """Reference fairseq ``TransformerModel`` state_dict
+    (``Translation/Transformer/fairseq/models/transformer.py:62``) ->
+    params for ``models/translation/transformer.Transformer``.
+
+    The reference's q/k/v projections are applied as ``input @ W``
+    (``multihead_attention.py:102-113`` — NOT nn.Linear's ``input @ W.T``),
+    so those kernels copy over untransposed; ``out_proj``/``fc1``/``fc2``
+    are nn.Linear and transpose. Attention is bias-free. The shared
+    embedding is zero-padded to the MXU-friendly vocab."""
+
+    def linear(p):
+        return {"kernel": np.transpose(sd[f"{p}.weight"]),
+                "bias": sd[f"{p}.bias"]}
+
+    def ln(p):
+        return {"scale": sd[f"{p}.ln.weight"], "bias": sd[f"{p}.ln.bias"]}
+
+    def attn(src):
+        out = {
+            t: {"kernel": np.asarray(sd[f"{src}.in_proj_weight_{t}"])}
+            for t in ("q", "k", "v")
+        }
+        out["out"] = {"kernel": np.transpose(sd[f"{src}.out_proj.weight"])}
+        return out
+
+    emb = sd["encoder.embed_tokens.weight"]
+    if emb.shape[0] < padded_vocab:
+        emb = np.concatenate(
+            [emb, np.zeros((padded_vocab - emb.shape[0], emb.shape[1]),
+                           emb.dtype)])
+    params: dict = {"embed": {"embedding": emb}}
+    for i in range(enc_layers):
+        src = f"encoder.layers.{i}"
+        params[f"enc_{i}"] = {
+            "self_attn": attn(f"{src}.self_attn"),
+            "ln1": ln(f"{src}.maybe_ln1"),
+            "ff1": linear(f"{src}.fc1"),
+            "ff2": linear(f"{src}.fc2"),
+            "ln2": ln(f"{src}.maybe_ln2"),
+        }
+    for i in range(dec_layers):
+        src = f"decoder.layers.{i}"
+        params[f"dec_{i}"] = {
+            "self_attn": attn(f"{src}.self_attn"),
+            "cross_attn": attn(f"{src}.encoder_attn"),
+            "ln1": ln(f"{src}.self_attn_layer_norm"),
+            "ln_cross": ln(f"{src}.encoder_attn_layer_norm"),
+            "ff1": linear(f"{src}.fc1"),
+            "ff2": linear(f"{src}.fc2"),
             "ln2": ln(f"{src}.final_layer_norm"),
         }
     return params

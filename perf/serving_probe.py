@@ -72,9 +72,15 @@ def bench_rn50_serving(variables, fwd):
 
     res = online_performance_test(batcher.infer, make_input, concurrency=8,
                                   requests_per_client=24)
+    # in-process latency decomposition: batcher wait vs device time — the
+    # split the tunnel RTT can't pollute (VERDICT r3 weak #6)
+    split = batcher.stats()
     batcher.close()
     print(json.dumps({"metric": "rn50_serving_online", **{
         k: round(v, 2) for k, v in res.items()}}), flush=True)
+    print(json.dumps({"metric": "rn50_serving_latency_split", **{
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in split.items()}}), flush=True)
 
 
 def bench_tts_pipeline():

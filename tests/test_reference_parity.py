@@ -2001,3 +2001,185 @@ def test_maskrcnn_box_and_mask_head_parity(mrcnn_ref):
     np.testing.assert_allclose(
         np.transpose(np.asarray(our_masks), (0, 3, 1, 2)),
         ref_masks.numpy(), atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Transformer NMT — Translation/Transformer/fairseq/models/transformer.py:62
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def nmt_ref():
+    """Import the reference's vendored fairseq (pure torch on CPU once the
+    CUDA strided-bmm wrappers are routed to their own ``torch.bmm``
+    fallbacks, ``multihead_attention.py:182,201``). ``strided_batched_gemm``
+    (CUDA ext) and apex's FusedLayerNorm get inert stubs — FusedLayerNorm is
+    mapped to ``nn.LayerNorm``, the exact math it fuses."""
+    root = REF + "/Translation/Transformer"
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "fairseq" or k.startswith("fairseq.")}
+    added = []
+    if "strided_batched_gemm" not in sys.modules:
+        sys.modules["strided_batched_gemm"] = _stub_module(
+            "strided_batched_gemm")
+        added.append("strided_batched_gemm")
+    if "apex" not in sys.modules:
+        apex = _stub_module("apex")
+        apex_norm = _stub_module("apex.normalization")
+        apex_fln = _stub_module("apex.normalization.fused_layer_norm")
+        apex_fln.FusedLayerNorm = torch.nn.LayerNorm
+        apex_norm.fused_layer_norm = apex_fln
+        apex.normalization = apex_norm
+        sys.modules["apex"] = apex
+        sys.modules["apex.normalization"] = apex_norm
+        sys.modules["apex.normalization.fused_layer_norm"] = apex_fln
+        added += ["apex", "apex.normalization",
+                  "apex.normalization.fused_layer_norm"]
+    sys.path.insert(0, root)
+    # fairseq/multiprocessing_pdb.py calls sys.stdin.fileno() at import
+    # time; pytest's captured stdin has none — hand it devnull instead
+    import os as _os
+
+    stdin_bak, devnull = sys.stdin, open(_os.devnull)
+    sys.stdin = devnull
+    try:
+        from fairseq.models import transformer as ref_transformer
+        from fairseq.modules import multihead_attention as mha_mod
+
+        # the CUDA-path wrappers allocate on device('cuda') even for fp32;
+        # their documented pure-torch equivalents (the jit-script branches,
+        # multihead_attention.py:240-251) are plain bmm
+        mha_mod.strided_bmm1 = lambda a, b: torch.bmm(a, b)
+        mha_mod.strided_bmm2 = lambda a, b: torch.bmm(a, b)
+
+        # ... as are the projection helpers (jit-script branches,
+        # multihead_attention.py:207-237: q = scale * x @ Wq etc.); the
+        # autograd-function versions .view() non-contiguous CPU tensors
+        def _proj(x, w):
+            return (x.reshape(-1, x.size(-1)) @ w).view(x.shape)
+
+        mha_mod.query_linear = lambda x, wq, s: s * _proj(x, wq)
+        mha_mod.key_value_linears = (
+            lambda x, wk, wv: (_proj(x, wk), _proj(x, wv)))
+        mha_mod.self_attn_linears = (
+            lambda x, wq, wk, wv, s: (s * _proj(x, wq), _proj(x, wk),
+                                      _proj(x, wv)))
+        yield ref_transformer
+    finally:
+        sys.stdin = stdin_bak
+        devnull.close()
+        sys.path.remove(root)
+        for k in list(sys.modules):
+            if k == "fairseq" or k.startswith("fairseq."):
+                sys.modules.pop(k)
+        for k in added:
+            sys.modules.pop(k, None)
+        sys.modules.update(saved)
+
+
+def test_transformer_nmt_forward_parity(nmt_ref):
+    """Full-network forward + label-smoothed-CE parity vs the fairseq
+    ``transformer_wmt_en_de`` base arch (post-LN, bias-free attention,
+    shared embeddings, t2t sinusoids): left-padded source, right-padded
+    target, logits at every position and the summed criterion
+    (``fairseq/criterions.py:21-42``)."""
+    import argparse
+
+    from deeplearningexamples_tpu.models.translation import (
+        Transformer, TransformerConfig,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_nmt_transformer,
+    )
+
+    seed_all(55)
+    V, D, FF, H, L = 512, 64, 128, 4, 2
+    PAD, EOS = 1, 2
+    args = argparse.Namespace(
+        src_vocab_size=V, tgt_vocab_size=V, padding_idx=PAD,
+        encoder_embed_dim=D, encoder_ffn_embed_dim=FF,
+        encoder_layers=L, encoder_attention_heads=H,
+        decoder_layers=L, decoder_attention_heads=H,
+        dropout=0.0, attention_dropout=0.0, relu_dropout=0.0,
+        share_all_embeddings=True,
+        fuse_dropout_add=False, fuse_relu_dropout=False,
+        fuse_layer_norm=False,
+        max_source_positions=64, max_target_positions=64,
+    )
+    ref = nmt_ref.TransformerModel.build_model(args).eval()
+
+    cfg = TransformerConfig(
+        vocab_size=V, d_model=D, d_ff=FF, num_heads=H,
+        encoder_layers=L, decoder_layers=L, dropout=0.0, max_len=64,
+        pad_id=PAD, eos_id=EOS,
+    )
+    model = Transformer(cfg, dtype=jnp.float32)
+    params = convert_nmt_transformer(sd_numpy(ref), L, L, cfg.padded_vocab)
+
+    rng = np.random.default_rng(56)
+    b, slen, tlen = 3, 10, 9
+    src = rng.integers(4, V, (b, slen)).astype(np.int64)
+    src_lengths = np.array([slen, 7, 5])
+    for i, n in enumerate(src_lengths):  # reference pipeline LEFT-pads source
+        src[i, : slen - n] = PAD
+    tgt = rng.integers(4, V, (b, tlen)).astype(np.int64)
+    tgt_lengths = np.array([tlen, 8, 6])
+    for i, n in enumerate(tgt_lengths):  # target is RIGHT-padded
+        tgt[i, n:] = PAD
+        tgt[i, n - 1] = EOS
+    # fairseq teacher forcing: prev_output_tokens = EOS + target[:-1]
+    prev_out = np.concatenate([np.full((b, 1), EOS, np.int64),
+                               tgt[:, :-1]], axis=1)
+    prev_out[tgt == PAD] = PAD  # keep pads aligned past each sequence end
+
+    with torch.no_grad():
+        ref_logits, _ = ref(torch.tensor(src),
+                            torch.tensor(src_lengths),
+                            torch.tensor(prev_out))
+        crit = _NmtLabelSmoothedCE(eps=0.1, padding_idx=PAD)
+        ref_loss = crit(torch.log_softmax(ref_logits, dim=-1),
+                        torch.tensor(tgt))
+
+    logits = model.apply(
+        {"params": params}, jnp.asarray(src, jnp.int32),
+        jnp.asarray(prev_out, jnp.int32), deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits.numpy(), atol=2e-4, rtol=1e-3)
+
+    # loss: ours is per-token mean; the reference criterion is the sum
+    from deeplearningexamples_tpu.models.translation import TransformerTask
+
+    task = TransformerTask(cfg, dtype=jnp.float32)
+    # our task shifts internally: tgt_in = [EOS]+tgt[:-1], tgt_out = tgt.
+    # tgt_in carries each row's trailing EOS where fairseq's collate puts
+    # PAD — loss-invisible: causal attention keeps it out of every valid
+    # query's window, and its own output positions are pad-masked.
+    batch = {
+        "src": jnp.asarray(src, jnp.int32),
+        "tgt": jnp.asarray(
+            np.concatenate([np.full((b, 1), EOS, np.int64), tgt], axis=1),
+            jnp.int32),
+    }
+    loss, _ = task.loss_fn(params, {}, batch, jax.random.key(0))
+    ntok = int((tgt != PAD).sum())
+    np.testing.assert_allclose(
+        float(loss) * ntok, float(ref_loss), atol=5e-3, rtol=1e-4)
+
+
+class _NmtLabelSmoothedCE(torch.nn.Module):
+    """Reference ``LabelSmoothedCrossEntropyCriterion``
+    (``fairseq/criterions.py:21-42``) restated: summed over non-pad tokens,
+    smoothing mass spread over the full vocab."""
+
+    def __init__(self, eps, padding_idx):
+        super().__init__()
+        self.eps = eps
+        self.padding_idx = padding_idx
+
+    def forward(self, lprobs, target):
+        target = target.reshape(-1, 1)
+        lprobs = lprobs.reshape(-1, lprobs.size(-1))
+        non_pad = target.ne(self.padding_idx)
+        nll = -lprobs.gather(dim=-1, index=target)[non_pad].sum()
+        smooth = -lprobs.sum(dim=-1, keepdim=True)[non_pad].sum()
+        return (1.0 - self.eps) * nll + (self.eps / lprobs.size(-1)) * smooth
