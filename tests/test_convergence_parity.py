@@ -664,3 +664,91 @@ def test_waveglow_overfit_fixture():
     # the flow NLL is unbounded below; require a solid absolute drop
     assert final < first - 1.0, (
         f"failed to overfit: {first:.3f} -> {final:.3f}")
+
+
+# ---------------------------------------------------------------------------
+# Transformer NMT: 40 SGD steps through the rebuilt fairseq-fidelity model
+# (left-padded source, t2t sinusoids, bias-free attention, tied embedding)
+# ---------------------------------------------------------------------------
+
+from test_reference_parity import nmt_ref  # noqa: E402,F401  (fixture)
+
+
+def test_transformer_nmt_loss_curve_parity(nmt_ref):
+    import argparse
+
+    from deeplearningexamples_tpu.models.translation import (
+        TransformerConfig, TransformerTask,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_nmt_transformer,
+    )
+
+    fp.seed_all(65)
+    V, D, FF, H, L = 512, 64, 128, 4, 2
+    PAD, EOS = 1, 2
+    args = argparse.Namespace(
+        src_vocab_size=V, tgt_vocab_size=V, padding_idx=PAD,
+        encoder_embed_dim=D, encoder_ffn_embed_dim=FF,
+        encoder_layers=L, encoder_attention_heads=H,
+        decoder_layers=L, decoder_attention_heads=H,
+        dropout=0.0, attention_dropout=0.0, relu_dropout=0.0,
+        share_all_embeddings=True,
+        fuse_dropout_add=False, fuse_relu_dropout=False,
+        fuse_layer_norm=False,
+        max_source_positions=64, max_target_positions=64,
+    )
+    ref = nmt_ref.TransformerModel.build_model(args).eval()
+
+    cfg = TransformerConfig(
+        vocab_size=V, d_model=D, d_ff=FF, num_heads=H,
+        encoder_layers=L, decoder_layers=L, dropout=0.0, max_len=64,
+        pad_id=PAD, eos_id=EOS,
+    )
+    task = TransformerTask(cfg, dtype=jnp.float32)
+    # materialize to jax NOW: sd_numpy leaves are views of torch storage,
+    # which the torch SGD loop below mutates in place
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.array(a, copy=True),
+        convert_nmt_transformer(fp.sd_numpy(ref), L, L, cfg.padded_vocab))
+
+    rng = np.random.default_rng(66)
+    b, slen, tlen = 4, 10, 9
+    src = rng.integers(4, V, (b, slen)).astype(np.int64)
+    for i, n in enumerate([slen, 8, 7, 5]):
+        src[i, : slen - n] = PAD
+    tgt = rng.integers(4, V, (b, tlen)).astype(np.int64)
+    for i, n in enumerate([tlen, 9, 8, 6]):
+        tgt[i, n:] = PAD
+        tgt[i, n - 1] = EOS
+    prev = np.concatenate([np.full((b, 1), EOS, np.int64),
+                           tgt[:, :-1]], axis=1)
+    prev[tgt == PAD] = PAD
+    ntok = float((tgt != PAD).sum())
+    src_t, len_t = torch.tensor(src), torch.tensor(np.array([slen, 8, 7, 5]))
+    prev_t, tgt_t = torch.tensor(prev), torch.tensor(tgt)
+
+    def ref_loss():
+        logits, _ = ref(src_t, len_t, prev_t)
+        lp = torch.log_softmax(logits.float(), dim=-1).reshape(-1, V)
+        t = tgt_t.reshape(-1, 1)
+        non_pad = t.ne(PAD)
+        nll = -lp.gather(-1, t)[non_pad].sum()
+        smooth = -lp.sum(-1, keepdim=True)[non_pad].sum()
+        # per-token mean to mirror our loss_fn's normalization
+        return ((1.0 - 0.1) * nll + (0.1 / V) * smooth) / ntok
+
+    theirs = run_torch_sgd(ref, ref_loss, lr=0.5, steps=40)
+
+    batch = {
+        "src": jnp.asarray(src, jnp.int32),
+        "tgt": jnp.asarray(
+            np.concatenate([np.full((b, 1), EOS, np.int64), tgt], axis=1),
+            jnp.int32),
+    }
+
+    def loss_fn(p):
+        return task.loss_fn(p, {}, batch, jax.random.key(0))[0]
+
+    ours = run_ours_sgd(loss_fn, params, lr=0.5, steps=40)
+    assert_curves_track(ours, theirs, name="transformer_nmt")

@@ -455,3 +455,90 @@ def test_dlrm_gradient_parity():
             atol=float(np.abs(num_t.grad.numpy()).max()) * 1e-4 + 1e-7)
     finally:
         torch.Tensor.cuda = orig_cuda
+
+
+# ---------------------------------------------------------------------------
+# Transformer NMT (fairseq) — grads through the shared embedding (input,
+# both decoders' input, AND the tied output projection), the bias-free
+# attention projections, and the flash-attention backward on both the
+# padded-key encoder path and the causal decoder path.
+# ---------------------------------------------------------------------------
+
+from test_reference_parity import nmt_ref  # noqa: E402,F401  (fixture)
+
+
+def test_transformer_nmt_gradient_parity(nmt_ref):
+    import argparse
+
+    from deeplearningexamples_tpu.models.translation import (
+        TransformerConfig, TransformerTask,
+    )
+    from deeplearningexamples_tpu.utils.torch_import import (
+        convert_nmt_transformer,
+    )
+
+    fp.seed_all(60)
+    V, D, FF, H, L = 512, 64, 128, 4, 2
+    PAD, EOS = 1, 2
+    args = argparse.Namespace(
+        src_vocab_size=V, tgt_vocab_size=V, padding_idx=PAD,
+        encoder_embed_dim=D, encoder_ffn_embed_dim=FF,
+        encoder_layers=L, encoder_attention_heads=H,
+        decoder_layers=L, decoder_attention_heads=H,
+        dropout=0.0, attention_dropout=0.0, relu_dropout=0.0,
+        share_all_embeddings=True,
+        fuse_dropout_add=False, fuse_relu_dropout=False,
+        fuse_layer_norm=False,
+        max_source_positions=64, max_target_positions=64,
+    )
+    ref = nmt_ref.TransformerModel.build_model(args).eval()
+
+    cfg = TransformerConfig(
+        vocab_size=V, d_model=D, d_ff=FF, num_heads=H,
+        encoder_layers=L, decoder_layers=L, dropout=0.0, max_len=64,
+        pad_id=PAD, eos_id=EOS,
+    )
+    task = TransformerTask(cfg, dtype=jnp.float32)
+    params = convert_nmt_transformer(
+        fp.sd_numpy(ref), L, L, cfg.padded_vocab)
+
+    rng = np.random.default_rng(61)
+    b, slen, tlen = 3, 10, 9
+    src = rng.integers(4, V, (b, slen)).astype(np.int64)
+    for i, n in enumerate([slen, 7, 5]):
+        src[i, : slen - n] = PAD  # left-padded source
+    tgt = rng.integers(4, V, (b, tlen)).astype(np.int64)
+    for i, n in enumerate([tlen, 8, 6]):
+        tgt[i, n:] = PAD
+        tgt[i, n - 1] = EOS
+    prev = np.concatenate([np.full((b, 1), EOS, np.int64),
+                           tgt[:, :-1]], axis=1)
+    prev[tgt == PAD] = PAD
+
+    ref_logits, _ = ref(torch.tensor(src),
+                        torch.tensor(np.array([slen, 7, 5])),
+                        torch.tensor(prev))
+    lp = torch.log_softmax(ref_logits.float(), dim=-1)
+    t = torch.tensor(tgt).reshape(-1, 1)
+    lp2 = lp.reshape(-1, V)
+    non_pad = t.ne(PAD)
+    nll = -lp2.gather(-1, t)[non_pad].sum()
+    smooth = -lp2.sum(-1, keepdim=True)[non_pad].sum()
+    ((1.0 - 0.1) * nll + (0.1 / V) * smooth).backward()
+    theirs = convert_nmt_transformer(
+        grad_state_dict(ref), L, L, cfg.padded_vocab)
+
+    ntok = float((tgt != PAD).sum())
+    batch = {
+        "src": jnp.asarray(src, jnp.int32),
+        "tgt": jnp.asarray(
+            np.concatenate([np.full((b, 1), EOS, np.int64), tgt], axis=1),
+            jnp.int32),
+    }
+
+    def loss_fn(p):
+        # our loss is the per-token mean; the reference criterion is the sum
+        return task.loss_fn(p, {}, batch, jax.random.key(0))[0] * ntok
+
+    ours = jax.grad(loss_fn)(params)
+    assert_grad_tree_close(ours, theirs, prefix="nmt")
