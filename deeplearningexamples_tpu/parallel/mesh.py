@@ -29,6 +29,7 @@ __all__ = [
     "data_sharding",
     "replicated",
     "shard_batch",
+    "shard_batch_local",
     "P",
 ]
 
@@ -98,3 +99,28 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
         return jax.device_put(x, data_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def shard_batch_local(mesh: Mesh, local_batch: Any) -> Any:
+    """Multi-host host→device boundary: each process passes only ITS shard.
+
+    The reference's per-rank DistributedSampler hands every DDP rank a
+    disjoint slice of the global batch (``dataloaders.py:126-139``); the
+    SPMD analogue is each host process feeding its process-local rows and
+    JAX assembling one global jax.Array sharded along the ``data`` axis.
+    Assumes the usual DP layout: dim 0 split evenly across processes
+    (global rows = local rows × process_count). Single-process this
+    degenerates to :func:`shard_batch` and takes that exact path
+    (``device_put`` is the plain single-host transfer).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch)
+
+    def put(x):
+        x = np.asarray(x)
+        gshape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, x.ndim), x, gshape
+        )
+
+    return jax.tree_util.tree_map(put, local_batch)
