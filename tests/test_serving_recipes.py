@@ -114,3 +114,43 @@ def test_quartznet_streaming_recipe():
     r2 = srv.process_chunk("c1", audio[8000:], last=True)
     assert "transcript" in r2 and r2["final"]
     assert srv.active_streams == 0  # property
+
+
+def test_tft_model_repository_roundtrip(tmp_path):
+    """Per-family serving repo for a round-2 model (reference ships a
+    ``TFT/triton/`` deployment dir): save the repo from live params using
+    the recipe's own input_spec, restore in a fresh template, rebuild the
+    endpoint, and assert inference is bit-identical to pre-export."""
+    from deeplearningexamples_tpu.models.tft import TFTConfig, TFTTask
+    from deeplearningexamples_tpu.serving import (
+        load_model_repository,
+        save_model_repository,
+    )
+    from deeplearningexamples_tpu.serving.recipes import tft_endpoint
+
+    task = TFTTask(TFTConfig(hidden=16, n_heads=2, encoder_len=12, horizon=4))
+    params, _ = task.init(jax.random.key(0))
+    ep = tft_endpoint(task, params, batch_buckets=(1, 2))
+
+    save_model_repository(
+        str(tmp_path), "tft", params,
+        input_spec=ep.input_spec, output_names=ep.output_names,
+    )
+    template = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, config = load_model_repository(str(tmp_path), "tft", template)
+    assert config["inputs"]["observed"]["shape"] == [12, 4]
+    assert config["outputs"] == ["quantiles"]
+
+    ep2 = tft_endpoint(task, restored, name="tft_restored", batch_buckets=(1, 2))
+    try:
+        rng = np.random.default_rng(0)
+        req = {
+            "observed": rng.normal(size=(12, 4)).astype(np.float32),
+            "known": rng.normal(size=(16, 2)).astype(np.float32),
+        }
+        a = np.asarray(ep.batcher.infer(req)["quantiles"])
+        b = np.asarray(ep2.batcher.infer(req)["quantiles"])
+        np.testing.assert_array_equal(a, b)
+    finally:
+        ep.batcher.close()
+        ep2.batcher.close()
