@@ -41,6 +41,11 @@ class HiFiGanConfig:
     segment_length: int = 8192
     hop_length: int = 256
     lrelu: float = 0.1
+    # discriminator widths (reference models.py hardcodes these; configurable
+    # here so tests/dryruns can exercise the full GAN structure at tiny cost)
+    mpd_channels: tuple[int, ...] = (32, 128, 512, 1024)
+    msd_channels: tuple[int, ...] = (128, 128, 256, 512, 1024, 1024, 1024)
+    msd_scales: int = 3
 
 
 class ResBlock(nn.Module):
@@ -97,6 +102,7 @@ class PeriodDiscriminator(nn.Module):
     period: int
     lrelu: float
     dtype: Any
+    channels: tuple[int, ...] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, audio):
@@ -106,12 +112,13 @@ class PeriodDiscriminator(nn.Module):
         x = jnp.pad(audio, ((0, 0), (0, pad)), mode="reflect")
         x = x.reshape(b, -1, p, 1)  # (B, T/p, p, 1)
         feats = []
-        for i, ch in enumerate((32, 128, 512, 1024)):
+        for i, ch in enumerate(self.channels):
             x = nn.Conv(ch, (5, 1), strides=(3, 1), dtype=self.dtype,
                         name=f"c{i}")(x)
             x = nn.leaky_relu(x, self.lrelu)
             feats.append(x)
-        x = nn.Conv(1024, (5, 1), dtype=self.dtype, name="c4")(x)
+        x = nn.Conv(self.channels[-1], (5, 1), dtype=self.dtype,
+                    name=f"c{len(self.channels)}")(x)
         x = nn.leaky_relu(x, self.lrelu)
         feats.append(x)
         score = nn.Conv(1, (3, 1), dtype=jnp.float32, name="out")(
@@ -123,15 +130,16 @@ class PeriodDiscriminator(nn.Module):
 class ScaleDiscriminator(nn.Module):
     lrelu: float
     dtype: Any
+    channels: tuple[int, ...] = (128, 128, 256, 512, 1024, 1024, 1024)
 
     @nn.compact
     def __call__(self, audio):
         x = audio[..., None]  # (B, T, 1)
         feats = []
-        chs = (128, 128, 256, 512, 1024, 1024, 1024)
-        strides = (1, 2, 2, 4, 4, 1, 1)
-        groups = (1, 4, 16, 16, 16, 16, 1)
-        kernels = (15, 41, 41, 41, 41, 41, 5)
+        chs = self.channels
+        strides = (1, 2, 2, 4, 4, 1, 1)[: len(chs)]
+        groups = (1, 4, 16, 16, 16, 16, 1)[: len(chs)]
+        kernels = (15, 41, 41, 41, 41, 41, 5)[: len(chs)]
         for i, (c, s, g, k) in enumerate(zip(chs, strides, groups, kernels)):
             g = min(g, x.shape[-1])
             x = nn.Conv(c, (k,), strides=(s,), feature_group_count=g,
@@ -153,16 +161,19 @@ class HiFiGanDiscriminators(nn.Module):
         scores, feats = [], []
         for p in self.cfg.periods:
             s, f = PeriodDiscriminator(p, self.cfg.lrelu, self.dtype,
+                                       self.cfg.mpd_channels,
                                        name=f"mpd_{p}")(audio)
             scores.append(s)
             feats.append(f)
         x = audio
-        for i in range(3):
+        n_scales = self.cfg.msd_scales
+        for i in range(n_scales):
             s, f = ScaleDiscriminator(self.cfg.lrelu, self.dtype,
+                                      self.cfg.msd_channels,
                                       name=f"msd_{i}")(x)
             scores.append(s)
             feats.append(f)
-            if i < 2:
+            if i < n_scales - 1:
                 x = nn.avg_pool(x[..., None], (4,), strides=(2,),
                                 padding="SAME")[..., 0]
         return scores, feats
