@@ -31,6 +31,11 @@ __all__ = [
     "bart_endpoint",
     "tft_endpoint",
     "quartznet_streaming_server",
+    "jasper_offline_endpoint",
+    "gnmt_endpoint",
+    "transformer_xl_generate_endpoint",
+    "unet_endpoint",
+    "ncf_endpoint",
 ]
 
 
@@ -152,6 +157,227 @@ def tft_endpoint(
             "known": ((cfg.encoder_len + cfg.horizon, cfg.n_known), "float32"),
         },
         output_names=("quantiles",),
+    )
+
+
+def jasper_offline_endpoint(
+    task, params, model_state, *,
+    name: str = "jasper",
+    max_frames: int = 512,
+    max_tokens: int = 128,
+    batch_buckets=(1, 2, 4, 8),
+) -> ModelEndpoint:
+    """Offline (non-streaming) ASR endpoint — the reference's
+    ``Jasper/triton/jasper-client.py`` batch path: padded mel features +
+    valid-frame count -> greedy-CTC token ids.
+
+    The acoustic model (log-prob frames) runs jitted on device; the greedy
+    collapse (argmax / dedup / de-blank, ``triton/speech_utils.py`` decoder)
+    is tiny O(T) host work per request, exactly where the reference does it
+    (client-side postprocessing)."""
+    from ..models.asr import greedy_ctc_decode
+
+    stride = int(np.prod([b.stride for b in task.cfg.blocks]))
+    variables = {"params": params, **model_state}
+    infer = jax.jit(
+        lambda feats: task.model.apply(variables, feats, train=False))
+
+    def fn(batch):
+        feats = np.asarray(batch["feats"])
+        flen = np.asarray(batch["feat_len"])[:, 0]
+        # zero the padded tail: conv receptive fields cross the valid/pad
+        # boundary, so client-supplied pad garbage would otherwise leak into
+        # the last valid frames (training pads with zeros — same convention)
+        t_in = np.arange(feats.shape[1])
+        feats = np.where((t_in < flen[:, None])[:, :, None], feats, 0.0)
+        logp = np.asarray(infer(jnp.asarray(feats)))
+        n_valid = (flen + stride - 1) // stride
+        # mask padded frames to blank so they can't emit tokens
+        t_idx = np.arange(logp.shape[1])[None, :]
+        blank_only = np.full_like(logp, -1e9)
+        blank_only[:, :, 0] = 0.0
+        logp = np.where((t_idx < n_valid[:, None])[:, :, None],
+                        logp, blank_only)
+        tokens = np.full((logp.shape[0], max_tokens), -1, np.int32)
+        n_tokens = np.zeros((logp.shape[0], 1), np.int32)
+        for i, toks in enumerate(greedy_ctc_decode(logp)):
+            toks = toks[:max_tokens]
+            tokens[i, : len(toks)] = toks
+            n_tokens[i, 0] = len(toks)
+        return {"tokens": tokens, "n_tokens": n_tokens}
+
+    return ModelEndpoint(
+        name=name,
+        batcher=ContinuousBatcher(fn, batch_buckets=batch_buckets),
+        input_spec={
+            "feats": ((max_frames, task.cfg.n_mels), "float32"),
+            "feat_len": ((1,), "int32"),
+        },
+        output_names=("tokens", "n_tokens"),
+    )
+
+
+def gnmt_endpoint(
+    task, params, *,
+    name: str = "gnmt",
+    beam_size: int = 4,
+    max_len: int = 32,
+    max_target_len: int = 32,
+    batch_buckets=(1, 2, 4),
+) -> ModelEndpoint:
+    """Translation endpoint (reference ``GNMT/translate.py`` /
+    ``seq2seq/inference/beam_search.py``): padded source ids -> best-beam
+    target ids, GNMT length-normalized beam search. The LSTM decoder is
+    causal by construction, so the full-prefix re-decode in ``beam_search``
+    is exact."""
+    from ..models.translation.beam_search import beam_search
+
+    cfg = task.cfg
+    model = task.model
+
+    def decode(src):
+        b = src.shape[0]
+        memory, mask = model.apply({"params": params}, src,
+                                   method=model.encode)
+        mem_t = jnp.repeat(memory, beam_size, axis=0)
+        mask_t = jnp.repeat(mask, beam_size, axis=0)
+
+        def decode_logits(tgt):
+            return model.apply({"params": params}, tgt, mem_t, mask_t,
+                               method=model.decode)
+
+        seqs, scores = beam_search(
+            decode_logits, b, beam_size, max_len=max_target_len,
+            bos_id=cfg.bos_id, eos_id=cfg.eos_id, pad_id=cfg.pad_id,
+        )
+        return seqs[:, 0], scores[:, 0]
+
+    decode = jax.jit(decode)
+
+    def fn(batch):
+        tokens, scores = decode(jnp.asarray(batch["src"], jnp.int32))
+        return {"tokens": tokens, "scores": scores}
+
+    return ModelEndpoint(
+        name=name,
+        batcher=ContinuousBatcher(fn, batch_buckets=batch_buckets),
+        input_spec={"src": ((max_len,), "int32")},
+        output_names=("tokens", "scores"),
+    )
+
+
+def transformer_xl_generate_endpoint(
+    task, params, *,
+    name: str = "transformer_xl",
+    gen_len: int = 32,
+    batch_buckets=(1, 2, 4),
+) -> ModelEndpoint:
+    """LM text-generation endpoint (the reference Transformer-XL ships
+    ``pytorch/eval.py`` / ``pytorch/inference`` for segment-level scoring):
+    a full ``seg_len`` context window -> ``gen_len`` greedily decoded
+    continuation tokens.
+
+    Decoding slides the window one token per step (roll + append) and
+    re-runs the full segment with ``mem_valid=0`` — the one mode where the
+    relative-position table needs no reslicing, so it is exact; the mems
+    recurrence stays the training-path optimization."""
+    cfg = task.cfg
+    model = task.model
+
+    def generate(tokens):
+        b = tokens.shape[0]
+
+        def step(i, carry):
+            window, out = carry
+            logits, _ = model.apply({"params": params}, window)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            window = jnp.concatenate([window[:, 1:], nxt[:, None]], axis=1)
+            return window, jax.lax.dynamic_update_index_in_dim(
+                out, nxt, i, axis=1)
+
+        out0 = jnp.zeros((b, gen_len), jnp.int32)
+        _, out = jax.lax.fori_loop(0, gen_len, step, (tokens, out0))
+        return out
+
+    generate = jax.jit(generate)
+
+    def fn(batch):
+        return {"generated": generate(jnp.asarray(batch["context"], jnp.int32))}
+
+    return ModelEndpoint(
+        name=name,
+        batcher=ContinuousBatcher(fn, batch_buckets=batch_buckets),
+        input_spec={"context": ((cfg.seg_len,), "int32")},
+        output_names=("generated",),
+    )
+
+
+def unet_endpoint(
+    task, params, *,
+    name: str = "unet",
+    patch: int = 64,
+    batch_buckets=(1, 2, 4),
+) -> ModelEndpoint:
+    """Segmentation endpoint (reference
+    ``nnUNet/triton/run_inference_on_triton.py``): image patch ->
+    per-voxel class labels + probabilities. Whole-patch inference at the
+    trained patch size, 2D or 3D by ``cfg.spatial_rank``."""
+    cfg = task.cfg
+
+    def predict(image):
+        logits = task.model.apply({"params": params}, image)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), probs
+
+    predict = jax.jit(predict)
+
+    def fn(batch):
+        mask, probs = predict(jnp.asarray(batch["image"]))
+        return {"mask": mask, "probs": probs}
+
+    spatial = (patch,) * cfg.spatial_rank
+    return ModelEndpoint(
+        name=name,
+        batcher=ContinuousBatcher(fn, batch_buckets=batch_buckets),
+        input_spec={"image": ((*spatial, cfg.in_channels), "float32")},
+        output_names=("mask", "probs"),
+    )
+
+
+def ncf_endpoint(
+    task, params, *,
+    name: str = "ncf",
+    n_candidates: int = 100,
+    batch_buckets=(1, 2, 4, 8, 16),
+) -> ModelEndpoint:
+    """Recommendation scoring endpoint (reference ``NCF/inference.py``):
+    one user + a candidate item list -> per-item scores and the top-ranked
+    order, the HR@10 evaluation query shape served online."""
+
+    def score(users, items):
+        u = jnp.broadcast_to(users, items.shape)
+        s = task.model.apply({"params": params}, u.reshape(-1),
+                             items.reshape(-1)).reshape(items.shape)
+        order = jnp.argsort(-s, axis=-1).astype(jnp.int32)
+        return s, order
+
+    score = jax.jit(score)
+
+    def fn(batch):
+        scores, order = score(
+            jnp.asarray(batch["user"], jnp.int32),
+            jnp.asarray(batch["items"], jnp.int32),
+        )
+        return {"scores": scores, "ranking": order}
+
+    return ModelEndpoint(
+        name=name,
+        batcher=ContinuousBatcher(fn, batch_buckets=batch_buckets),
+        input_spec={
+            "user": ((1,), "int32"),
+            "items": ((n_candidates,), "int32"),
+        },
+        output_names=("scores", "ranking"),
     )
 
 

@@ -116,6 +116,205 @@ def test_quartznet_streaming_recipe():
     assert srv.active_streams == 0  # property
 
 
+def test_jasper_offline_endpoint_roundtrip(tmp_path):
+    """Offline ASR serving (reference ``Jasper/triton/jasper-client.py``):
+    padded mel feats + valid length -> greedy-CTC tokens, with a model-repo
+    export/restore that is bit-identical."""
+    from deeplearningexamples_tpu.models.asr import (
+        JasperBlock, JasperConfig, JasperTask,
+    )
+    from deeplearningexamples_tpu.serving import (
+        load_model_repository, save_model_repository,
+    )
+    from deeplearningexamples_tpu.serving.recipes import jasper_offline_endpoint
+
+    cfg = JasperConfig(blocks=(
+        JasperBlock(1, 32, 11, 0.0, residual=False, stride=2),
+        JasperBlock(2, 32, 11, 0.0),
+    ))
+    task = JasperTask(cfg, jnp.float32)
+    params, mstate = task.init(jax.random.key(0))
+    ep = jasper_offline_endpoint(task, params, mstate, max_frames=64,
+                                 max_tokens=16, batch_buckets=(1, 2))
+
+    save_model_repository(str(tmp_path), "jasper", params,
+                          input_spec=ep.input_spec,
+                          output_names=ep.output_names)
+    template = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, config = load_model_repository(str(tmp_path), "jasper", template)
+    assert config["inputs"]["feats"]["shape"] == [64, cfg.n_mels]
+    ep2 = jasper_offline_endpoint(task, restored, mstate,
+                                  name="jasper_restored", max_frames=64,
+                                  max_tokens=16, batch_buckets=(1, 2))
+    try:
+        rng = np.random.default_rng(0)
+        req = {"feats": rng.normal(size=(64, cfg.n_mels)).astype(np.float32),
+               "feat_len": np.array([40], np.int32)}
+        a = ep.batcher.infer(req, timeout=300)
+        b = ep2.batcher.infer(req, timeout=300)
+        assert a["tokens"].shape == (16,)
+        assert 0 <= int(a["n_tokens"][0]) <= 16
+        # padded frames must not emit: valid output frames = ceil(40/2)
+        np.testing.assert_array_equal(a["tokens"], b["tokens"])
+        np.testing.assert_array_equal(a["n_tokens"], b["n_tokens"])
+    finally:
+        ep.batcher.close()
+        ep2.batcher.close()
+
+
+def test_jasper_offline_padding_invariance():
+    """The valid-length mask makes transcripts invariant to pad frames —
+    the property the reference gets from DALI's length metadata."""
+    from deeplearningexamples_tpu.models.asr import (
+        JasperBlock, JasperConfig, JasperTask,
+    )
+    from deeplearningexamples_tpu.serving.recipes import jasper_offline_endpoint
+
+    cfg = JasperConfig(blocks=(
+        JasperBlock(1, 32, 11, 0.0, residual=False, stride=2),
+    ))
+    task = JasperTask(cfg, jnp.float32)
+    params, mstate = task.init(jax.random.key(1))
+    ep = jasper_offline_endpoint(task, params, mstate, max_frames=64,
+                                 max_tokens=16, batch_buckets=(1,))
+    try:
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(64, cfg.n_mels)).astype(np.float32)
+        a = ep.batcher.infer(
+            {"feats": feats, "feat_len": np.array([32], np.int32)},
+            timeout=300)
+        feats2 = feats.copy()
+        feats2[32:] = 99.0  # garbage in the padded tail
+        b = ep.batcher.infer(
+            {"feats": feats2, "feat_len": np.array([32], np.int32)},
+            timeout=300)
+        np.testing.assert_array_equal(a["tokens"], b["tokens"])
+    finally:
+        ep.batcher.close()
+
+
+def test_gnmt_endpoint_roundtrip(tmp_path):
+    """Translation serving (reference ``GNMT/translate.py`` beam search):
+    source ids -> best-beam target ids; export/restore bit-identical."""
+    from deeplearningexamples_tpu.models.translation import GnmtConfig, GnmtTask
+    from deeplearningexamples_tpu.serving import (
+        load_model_repository, save_model_repository,
+    )
+    from deeplearningexamples_tpu.serving.recipes import gnmt_endpoint
+
+    cfg = GnmtConfig(vocab_size=32, hidden_size=16, num_layers=2, dropout=0.0)
+    task = GnmtTask(cfg, jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    ep = gnmt_endpoint(task, params, beam_size=2, max_len=8,
+                       max_target_len=8, batch_buckets=(1, 2))
+    save_model_repository(str(tmp_path), "gnmt", params,
+                          input_spec=ep.input_spec,
+                          output_names=ep.output_names)
+    template = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, _ = load_model_repository(str(tmp_path), "gnmt", template)
+    ep2 = gnmt_endpoint(task, restored, name="gnmt_restored", beam_size=2,
+                        max_len=8, max_target_len=8, batch_buckets=(1, 2))
+    try:
+        src = np.full((8,), cfg.pad_id, np.int32)
+        src[:4] = [5, 6, 7, cfg.eos_id]
+        a = ep.batcher.infer({"src": src}, timeout=300)
+        b = ep2.batcher.infer({"src": src}, timeout=300)
+        assert a["tokens"].shape == (8,)
+        assert int(a["tokens"][0]) == cfg.bos_id
+        assert np.isfinite(a["scores"])
+        np.testing.assert_array_equal(a["tokens"], b["tokens"])
+    finally:
+        ep.batcher.close()
+        ep2.batcher.close()
+
+
+def test_transformer_xl_generate_endpoint():
+    """LM generation serving (reference Transformer-XL ``pytorch/eval.py``
+    inference role): context window -> greedy continuation, deterministic."""
+    from deeplearningexamples_tpu.models.transformer_xl import (
+        TransformerXLConfig, TransformerXLTask,
+    )
+    from deeplearningexamples_tpu.serving.recipes import (
+        transformer_xl_generate_endpoint,
+    )
+
+    cfg = TransformerXLConfig(vocab_size=64, d_model=32, n_heads=2, d_head=16,
+                              d_ff=64, n_layers=2, seg_len=16, mem_len=16)
+    task = TransformerXLTask(cfg, jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    ep = transformer_xl_generate_endpoint(task, params, gen_len=8,
+                                          batch_buckets=(1, 2))
+    try:
+        ctx = np.arange(16, dtype=np.int32) % cfg.vocab_size
+        a = ep.batcher.infer({"context": ctx}, timeout=300)
+        b = ep.batcher.infer({"context": ctx}, timeout=300)
+        assert a["generated"].shape == (8,)
+        assert np.all((a["generated"] >= 0)
+                      & (a["generated"] < cfg.padded_vocab))
+        np.testing.assert_array_equal(a["generated"], b["generated"])
+    finally:
+        ep.batcher.close()
+
+
+def test_unet_endpoint_roundtrip(tmp_path):
+    """Segmentation serving (reference ``nnUNet/triton/
+    run_inference_on_triton.py``): patch -> labels + probs; export/restore
+    bit-identical."""
+    from deeplearningexamples_tpu.models.unet import UNetConfig, UNetTask
+    from deeplearningexamples_tpu.serving import (
+        load_model_repository, save_model_repository,
+    )
+    from deeplearningexamples_tpu.serving.recipes import unet_endpoint
+
+    cfg = UNetConfig(spatial_rank=2, in_channels=1, n_classes=3,
+                     base_filters=8, depth=2, deep_supervision=False)
+    task = UNetTask(cfg, jnp.float32)
+    params, _ = task.init(jax.random.key(0), patch=32)
+    ep = unet_endpoint(task, params, patch=32, batch_buckets=(1, 2))
+    save_model_repository(str(tmp_path), "unet", params,
+                          input_spec=ep.input_spec,
+                          output_names=ep.output_names)
+    template = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, _ = load_model_repository(str(tmp_path), "unet", template)
+    ep2 = unet_endpoint(task, restored, name="unet_restored", patch=32,
+                        batch_buckets=(1, 2))
+    try:
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(32, 32, 1)).astype(np.float32)
+        a = ep.batcher.infer({"image": img}, timeout=300)
+        b = ep2.batcher.infer({"image": img}, timeout=300)
+        assert a["mask"].shape == (32, 32)
+        assert a["probs"].shape == (32, 32, 3)
+        np.testing.assert_allclose(np.sum(a["probs"], -1), 1.0, rtol=1e-5)
+        np.testing.assert_array_equal(a["mask"], b["mask"])
+    finally:
+        ep.batcher.close()
+        ep2.batcher.close()
+
+
+def test_ncf_endpoint_ranking():
+    """Recommendation serving (reference ``NCF/inference.py``): user +
+    candidate items -> scores and ranking; ranking consistent with scores."""
+    from deeplearningexamples_tpu.models.ncf import NcfConfig, NcfTask
+    from deeplearningexamples_tpu.serving.recipes import ncf_endpoint
+
+    cfg = NcfConfig(nb_users=50, nb_items=40, mf_dim=8,
+                    mlp_layer_sizes=(16, 8))
+    task = NcfTask(cfg, jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    ep = ncf_endpoint(task, params, n_candidates=10, batch_buckets=(1, 2))
+    try:
+        items = np.arange(10, dtype=np.int32)
+        out = ep.batcher.infer(
+            {"user": np.array([3], np.int32), "items": items}, timeout=300)
+        assert out["scores"].shape == (10,)
+        order = out["ranking"]
+        s = out["scores"]
+        assert np.all(np.diff(s[order]) <= 1e-7)  # ranking sorts descending
+    finally:
+        ep.batcher.close()
+
+
 def test_tft_model_repository_roundtrip(tmp_path):
     """Per-family serving repo for a round-2 model (reference ships a
     ``TFT/triton/`` deployment dir): save the repo from live params using
