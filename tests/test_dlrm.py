@@ -153,6 +153,79 @@ def test_embedding_lookup_grad_matches_take():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_hybrid_parallel_executes_at_bench_shape_ratios():
+    """Execute (not just compile) one DP x TP training step at the bench's
+    shape *ratios* — 26 tables, d=128, global batch 8192, the Criteo MLP
+    stack — on the 8-device CPU mesh, and assert the sharded step is
+    numerically equal to the replicated step. This is the correctness leg
+    of the fleet-scale projection (``perf/DLRM_ROOFLINE.md``): the
+    production answer to the latency-bound single-chip gather is sharding
+    the table over ``model``, so that path must produce the same update the
+    replicated program does. Cardinalities are scaled down (~64k rows) to
+    fit 8 host-thread devices; every shape RATIO that drives the collective
+    pattern (tables, d, batch/device) matches the bench config
+    (reference ``dlrm/scripts/main.py`` defaults / ``DLRM/README.md:921``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deeplearningexamples_tpu.parallel import MeshSpec, build_mesh
+
+    cards = tuple(int(c) for c in np.linspace(200, 8000, 26))
+    cfg = DlrmConfig(
+        categorical_cardinalities=cards, embedding_dim=128,
+        bottom_mlp=(512, 256, 128), top_mlp=(1024, 1024, 512, 256, 1),
+    )
+    task = DlrmTask(cfg, dtype=jnp.float32)
+    params, _ = task.init(jax.random.key(0))
+    tx = make_dlrm_optimizer(params, mlp_lr=1.0, embedding_lr=1.0)
+    state = create_train_state(params, tx, jax.random.key(1), {})
+    step = make_train_step(task.loss_fn, tx, donate=False)
+
+    bs = 8192
+    rng = np.random.default_rng(0)
+    batch = {
+        "numerical": jnp.asarray(rng.normal(size=(bs, 13)), jnp.float32),
+        "categorical": jnp.asarray(
+            np.stack([rng.integers(0, c, bs) for c in cards], 1), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 2, bs), jnp.float32),
+    }
+
+    # replicated oracle step (single device)
+    ref_state, ref_metrics = step(state, batch)
+    ref_loss = float(ref_metrics["loss"])
+
+    # DP x TP: table rows (and their optimizer moments) over `model`,
+    # batch over `data`, dense params replicated
+    mesh = build_mesh(MeshSpec(data=4, model=2))
+    table_sh = NamedSharding(mesh, P("model", None))
+    repl = NamedSharding(mesh, P())
+    n_rows = params["embedding_table"].shape[0]
+
+    def shard_state_leaf(a):
+        if hasattr(a, "ndim") and a.ndim == 2 and a.shape[0] == n_rows:
+            return jax.device_put(a, table_sh)
+        return jax.device_put(a, repl) if hasattr(a, "ndim") else a
+
+    sh_state = jax.tree_util.tree_map(shard_state_leaf, state)
+    sh_batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *[None] * (x.ndim - 1)))),
+        batch,
+    )
+    sh_state2, sh_metrics = step(sh_state, sh_batch)
+    np.testing.assert_allclose(float(sh_metrics["loss"]), ref_loss, rtol=1e-5)
+
+    # updated params equal leaf-for-leaf (table gather/scatter crossed the
+    # model axis; dense grads crossed the data axis)
+    np.testing.assert_allclose(
+        np.asarray(sh_state2.params["embedding_table"]),
+        np.asarray(ref_state.params["embedding_table"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sh_state2.params["top_mlp_0"]["kernel"]),
+        np.asarray(ref_state.params["top_mlp_0"]["kernel"]),
+        rtol=1e-5, atol=1e-6)
+
+
 def test_hybrid_parallel_compiles_at_full_criteo_scale():
     """AOT-compile the DP x TP training step at the full Criteo-1TB FL=15
     cardinalities (~188M embedding rows, 96 GB of fp32 table — far beyond
