@@ -34,7 +34,10 @@ def initialize_distributed(
         if nodes > 1:
             nodelist = os.environ.get("SLURM_STEP_NODELIST", "")
             head = nodelist.split(",")[0].replace("[", "").split("-")[0]
-            coordinator = f"{head}:12345"
+            # port overridable so parallel jobs on one host (or a coordinator
+            # socket lingering in TIME_WAIT) can't collide on the default
+            port = int(os.environ.get("COORDINATOR_PORT", "12345"))
+            coordinator = f"{head}:{port}"
             num_processes = nodes
             process_id = int(os.environ.get("SLURM_PROCID", 0))
     if coordinator is not None:

@@ -105,7 +105,7 @@ def shard_batch_local(mesh: Mesh, local_batch: Any) -> Any:
     """Multi-host host→device boundary: each process passes only ITS shard.
 
     The reference's per-rank DistributedSampler hands every DDP rank a
-    disjoint slice of the global batch (``dataloaders.py:126-139``); the
+    disjoint slice of the global batch (``dataloaders.py:440-446``); the
     SPMD analogue is each host process feeding its process-local rows and
     JAX assembling one global jax.Array sharded along the ``data`` axis.
     Assumes the usual DP layout: dim 0 split evenly across processes
@@ -118,6 +118,12 @@ def shard_batch_local(mesh: Mesh, local_batch: Any) -> Any:
 
     def put(x):
         x = np.asarray(x)
+        if x.ndim == 0:
+            raise ValueError(
+                "shard_batch_local: got a 0-d leaf — every leaf must be "
+                "batch-led (dim 0 = this process's rows). Broadcast scalars "
+                "to the batch dim or pass them outside the batch pytree."
+            )
         gshape = (x.shape[0] * jax.process_count(), *x.shape[1:])
         return jax.make_array_from_process_local_data(
             data_sharding(mesh, x.ndim), x, gshape

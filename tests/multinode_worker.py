@@ -111,6 +111,9 @@ if __name__ == "__main__":
         os.environ["SLURM_JOB_NUM_NODES"] = str(nproc)
         os.environ["SLURM_STEP_NODELIST"] = "localhost"
         os.environ["SLURM_PROCID"] = str(pid)
+        # a freshly-bound free port from the parent, so parallel CI jobs (or
+        # a coordinator socket in TIME_WAIT) can't collide on the default
+        os.environ["COORDINATOR_PORT"] = str(port)
         info = initialize_distributed()
     else:
         info = initialize_distributed(

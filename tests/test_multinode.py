@@ -83,6 +83,8 @@ def test_two_process_training_matches_single_process():
 
 @pytest.mark.slow
 def test_slurm_autodetect_rendezvous():
-    # SLURM branch hardcodes port 12345 on the head node; workers set the
-    # SLURM_* env themselves and call initialize_distributed() with no args.
-    _check(_launch("slurm", 12345))
+    # Workers set the SLURM_* env themselves and call
+    # initialize_distributed() with no args; the SLURM branch reads the
+    # head-node port from COORDINATOR_PORT (default 12345), which the
+    # worker sets to a freshly bound free port to avoid collisions.
+    _check(_launch("slurm", _free_port()))
