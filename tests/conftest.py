@@ -33,3 +33,105 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)
+
+# ---------------------------------------------------------------------------
+# Shared apex / amp_C stub — complete, installed once, order-independent.
+#
+# Several reference modules import NVIDIA apex at module scope (DLRM's
+# dlrm/nn/parts.py via apex.mlp, BERT's optimization.py via apex.optimizers
+# + apex.multi_tensor_apply, wav2vec2's common/helpers.py via
+# apex.multi_tensor_apply, fairseq's transformer.py:40 via
+# `from apex.normalization import FusedLayerNorm`). apex is CUDA-only and not
+# installed here, so tests stub it. Round 4 did that with *partial* per-test
+# stubs guarded by `if "apex" not in sys.modules`, which made the suite
+# order-dependent: whichever test ran first decided which apex submodules
+# existed, and the NMT parity tests then died on the DLRM tests' bare stub.
+# This block installs ONE stub covering the union of every apex surface the
+# suite touches, before any test runs. Attributes that need torch (the MLP
+# base class, FusedLayerNorm) resolve lazily through PEP-562 module
+# __getattr__ so pure-JAX test files never pay a torch import at startup.
+# ---------------------------------------------------------------------------
+import importlib.machinery  # noqa: E402
+
+
+def _stub(name: str, lazy_attrs=None):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    if lazy_attrs is not None:
+        resolved = {}
+
+        def _getattr(attr, _factory=lazy_attrs, _cache=resolved, _name=name):
+            if not _cache:
+                _cache.update(_factory())
+            try:
+                return _cache[attr]
+            except KeyError:
+                raise AttributeError(
+                    f"stub module {_name!r} has no attribute {attr!r}"
+                ) from None
+
+        m.__getattr__ = _getattr
+    return m
+
+
+def _apex_mlp_attrs():
+    import torch
+
+    class _MlpFunction:
+        forward = staticmethod(lambda *a, **k: None)
+        backward = staticmethod(lambda *a, **k: None)
+
+    return {"MlpFunction": _MlpFunction,
+            "MLP": type("MLP", (torch.nn.Module,), {})}
+
+
+def _apex_norm_attrs():
+    import torch
+
+    # FusedLayerNorm is apex's CUDA fusion of exactly nn.LayerNorm's math;
+    # fairseq instantiates it, so the stub must be the real module class.
+    return {"FusedLayerNorm": torch.nn.LayerNorm}
+
+
+class _MultiTensorApply:
+    available = False
+
+    def __init__(self, *a, **k):
+        pass
+
+
+def _install_apex_stub():
+    if getattr(sys.modules.get("apex"), "__graft_complete_stub__", False):
+        return
+    apex = _stub("apex")
+    apex.__path__ = []
+    apex.__graft_complete_stub__ = True
+    mlp = _stub("apex.mlp", _apex_mlp_attrs)
+    opt = _stub("apex.optimizers")
+    opt.FusedAdam = object
+    opt.FusedLAMB = object
+    mta = _stub("apex.multi_tensor_apply")
+    mta.MultiTensorApply = _MultiTensorApply
+    mta.multi_tensor_applier = _MultiTensorApply()
+    norm = _stub("apex.normalization", _apex_norm_attrs)
+    fln = _stub("apex.normalization.fused_layer_norm", _apex_norm_attrs)
+    norm.fused_layer_norm = fln
+    par = _stub("apex.parallel")
+    par.DistributedDataParallel = object
+    amp = _stub("apex.amp")
+    apex.mlp, apex.optimizers, apex.multi_tensor_apply = mlp, opt, mta
+    apex.normalization, apex.parallel, apex.amp = norm, par, amp
+    sys.modules.update({
+        "apex": apex, "apex.mlp": mlp, "apex.optimizers": opt,
+        "apex.multi_tensor_apply": mta, "apex.normalization": norm,
+        "apex.normalization.fused_layer_norm": fln,
+        "apex.parallel": par, "apex.amp": amp,
+    })
+    if "amp_C" not in sys.modules:
+        amp_C = _stub("amp_C")
+        # every fused-kernel handle the reference references is inert
+        amp_C.__getattr__ = lambda attr: None
+        sys.modules["amp_C"] = amp_C
+
+
+_install_apex_stub()

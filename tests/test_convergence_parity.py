@@ -85,17 +85,7 @@ def run_ours_sgd(loss_fn, params, lr, steps):
 def test_dlrm_loss_curve_parity():
     import types
 
-    if "apex" not in sys.modules:
-        apex = fp._stub_module("apex")
-        apex_mlp = fp._stub_module("apex.mlp")
-        apex_mlp.MlpFunction = type(
-            "MlpFunction", (),
-            {"forward": staticmethod(lambda *a, **k: None),
-             "backward": staticmethod(lambda *a, **k: None)})
-        apex_mlp.MLP = type("MLP", (torch.nn.Module,), {})
-        apex.mlp = apex_mlp
-        sys.modules["apex"] = apex
-        sys.modules["apex.mlp"] = apex_mlp
+    # apex is fully stubbed by conftest.py (shared, order-independent)
     root = REF + "/Recommendation/DLRM"
     if root not in sys.path:
         sys.path.insert(0, root)

@@ -148,32 +148,10 @@ def test_fused_lamb_matches_nvlamb_oracle():
 
 @pytest.fixture(scope="module")
 def ref_bert_adam():
-    import importlib.machinery
-
-    def stub(name):
-        # real ModuleSpec so importlib.util.find_spec (transformers'
-        # availability probe) doesn't reject the stub
-        m = types.ModuleType(name)
-        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-        return m
-
-    # apex/amp_C are only used by the FusedAdam/fp16 path we don't exercise
-    apex = stub("apex")
-    apex_opt = stub("apex.optimizers")
-    apex_opt.FusedAdam = object
-    apex_mta = stub("apex.multi_tensor_apply")
-    apex_mta.multi_tensor_applier = types.SimpleNamespace(available=False)
-    apex.optimizers = apex_opt
-    apex.multi_tensor_apply = apex_mta
-    amp_C = stub("amp_C")
-    for name in ("multi_tensor_l2norm", "multi_tensor_lamb_stage1_cuda",
-                 "multi_tensor_lamb_stage2_cuda", "multi_tensor_scale"):
-        setattr(amp_C, name, None)
-    saved = {k: sys.modules.get(k) for k in
-             ("apex", "apex.optimizers", "apex.multi_tensor_apply", "amp_C",
-              "utils", "optimization")}
-    sys.modules.update({"apex": apex, "apex.optimizers": apex_opt,
-                        "apex.multi_tensor_apply": apex_mta, "amp_C": amp_C})
+    # apex/amp_C (used only by the FusedAdam/fp16 path we don't exercise)
+    # are fully stubbed by conftest.py; just guard the generically-named
+    # reference modules against collisions with other fixtures' imports
+    saved = {k: sys.modules.get(k) for k in ("utils", "optimization")}
     sys.modules.pop("utils", None)
     sys.modules.pop("optimization", None)
     sys.path.insert(0, REF_BERT)

@@ -446,20 +446,8 @@ def test_waveglow_forward_and_loss_parity(taco_ref):
 
 @pytest.fixture(scope="module")
 def dlrm_ref(request):
-    # stub apex + the CUDA extensions the reference imports at module scope
-    if "apex" not in sys.modules:
-        apex = _stub_module("apex")
-        apex_mlp = _stub_module("apex.mlp")
-
-        class _MlpFunction:
-            forward = staticmethod(lambda *a, **k: None)
-            backward = staticmethod(lambda *a, **k: None)
-
-        apex_mlp.MlpFunction = _MlpFunction
-        apex_mlp.MLP = type("MLP", (torch.nn.Module,), {})
-        apex.mlp = apex_mlp
-        sys.modules["apex"] = apex
-        sys.modules["apex.mlp"] = apex_mlp
+    # apex is fully stubbed by conftest.py; stub the DLRM CUDA extensions
+    # the reference imports at module scope
     root = REF + "/Recommendation/DLRM"
     if root not in sys.path:
         sys.path.insert(0, root)
@@ -1415,31 +1403,7 @@ def w2v_ref():
         sys.modules["librosa.filters"] = lib_f
     if "soundfile" not in sys.modules:
         sys.modules["soundfile"] = _stub_module("soundfile")
-    if "amp_C" not in sys.modules:
-        amp_C = _stub_module("amp_C")
-        for fn in ("multi_tensor_l2norm", "multi_tensor_scale"):
-            setattr(amp_C, fn, None)
-        sys.modules["amp_C"] = amp_C
-    # apex may already be stubbed by the DLRM/BertAdam fixtures with other
-    # submodules — only graft what common/helpers.py needs
-    apex = sys.modules.get("apex")
-    if apex is None:
-        apex = _stub_module("apex")
-        apex.__path__ = []
-        sys.modules["apex"] = apex
-    if "apex.multi_tensor_apply" not in sys.modules:
-        mta = _stub_module("apex.multi_tensor_apply")
-
-        class _MTA:
-            available = False
-
-            def __init__(self, *a, **k):
-                pass
-
-        mta.MultiTensorApply = _MTA
-        mta.multi_tensor_applier = _MTA()
-        apex.multi_tensor_apply = mta
-        sys.modules["apex.multi_tensor_apply"] = mta
+    # apex and amp_C are fully stubbed by conftest.py
     saved_path = list(sys.path)
     for other in (REF + "/SpeechRecognition/Jasper",
                   REF + "/SpeechSynthesis/HiFiGAN"):
@@ -2023,18 +1987,8 @@ def nmt_ref():
         sys.modules["strided_batched_gemm"] = _stub_module(
             "strided_batched_gemm")
         added.append("strided_batched_gemm")
-    if "apex" not in sys.modules:
-        apex = _stub_module("apex")
-        apex_norm = _stub_module("apex.normalization")
-        apex_fln = _stub_module("apex.normalization.fused_layer_norm")
-        apex_fln.FusedLayerNorm = torch.nn.LayerNorm
-        apex_norm.fused_layer_norm = apex_fln
-        apex.normalization = apex_norm
-        sys.modules["apex"] = apex
-        sys.modules["apex.normalization"] = apex_norm
-        sys.modules["apex.normalization.fused_layer_norm"] = apex_fln
-        added += ["apex", "apex.normalization",
-                  "apex.normalization.fused_layer_norm"]
+    # apex (incl. apex.normalization.FusedLayerNorm = nn.LayerNorm, the
+    # exact math the CUDA kernel fuses) is fully stubbed by conftest.py
     sys.path.insert(0, root)
     # fairseq/multiprocessing_pdb.py calls sys.stdin.fileno() at import
     # time; pytest's captured stdin has none — hand it devnull instead
