@@ -80,8 +80,8 @@ class BartBlock(nn.Module):
     def __call__(self, x, x_mask, memory, memory_mask, deterministic,
                  decode: bool = False):
         cfg = self.cfg
-        ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
-        ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
 
         def attn(y):
             return MHA(cfg, self.causal, self.dtype, name="self_attn")(
@@ -96,7 +96,7 @@ class BartBlock(nn.Module):
         if cfg.pre_ln:
             x = x + attn(ln1(x))
             if self.cross:
-                lnc = nn.LayerNorm(dtype=self.dtype, name="ln_cross")
+                lnc = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_cross")
                 x = x + MHA(cfg, False, self.dtype, name="cross_attn")(
                     lnc(x), memory, memory_mask, deterministic)
             return x + drop(ff(ln2(x)), deterministic=deterministic)
@@ -104,7 +104,7 @@ class BartBlock(nn.Module):
         if self.cross:
             c = MHA(cfg, False, self.dtype, name="cross_attn")(
                 x, memory, memory_mask, deterministic)
-            x = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(x + c)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_cross")(x + c)
         return ln2(x + drop(ff(x), deterministic=deterministic))
 
 
@@ -131,8 +131,8 @@ class BartModel(nn.Module):
         self.dec_pos = nn.Embed(
             cfg.max_len + self.POS_OFFSET, cfg.d_model,
             embedding_init=nn.initializers.normal(0.02), dtype=self.dtype)
-        self.enc_emb_ln = nn.LayerNorm(dtype=self.dtype)
-        self.dec_emb_ln = nn.LayerNorm(dtype=self.dtype)
+        self.enc_emb_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.dec_emb_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.enc_layers = [
             BartBlock(cfg, False, False, self.dtype, name=f"enc_{i}")
             for i in range(cfg.encoder_layers)]

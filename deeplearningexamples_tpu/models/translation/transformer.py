@@ -160,12 +160,14 @@ class Block(nn.Module):
         a = MHA(cfg, self.causal, self.dtype, name="self_attn")(
             x, x, x_mask, deterministic, decode=decode
         )
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x + a)
+        # eps=1e-5: apex FusedLayerNorm / torch.nn.LayerNorm default, which
+        # the fairseq and HF references inherit (flax defaults to 1e-6)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x + a)
         if self.cross:
             c = MHA(cfg, False, self.dtype, name="cross_attn")(
                 x, memory, memory_mask, deterministic
             )
-            x = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(x + c)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_cross")(x + c)
         y = nn.Dense(cfg.d_ff, dtype=self.dtype, name="ff1")(x)
         y = nn.relu(y)
         # the reference uses a SEPARATE relu_dropout rate here (0 in the
@@ -174,7 +176,7 @@ class Block(nn.Module):
             y, deterministic=deterministic)
         y = nn.Dense(cfg.d_model, dtype=self.dtype, name="ff2")(y)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="ln2")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x + y)
 
 
 class Transformer(nn.Module):
