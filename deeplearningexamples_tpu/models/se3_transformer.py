@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops.se3 import degree_to_dim, se3_basis
 
-__all__ = ["SE3Config", "SE3Transformer", "SE3RegressionTask"]
+__all__ = ["SE3Config", "SE3Transformer", "SE3Trunk", "SE3RegressionTask"]
 
 Fiber = dict  # degree -> channels
 
@@ -243,6 +243,45 @@ class AttentionBlockSE3(nn.Module):
                 parts.append(feats[str(d)])
             cat[str(d)] = jnp.concatenate(parts, axis=-2)
         return LinearSE3(self.fiber_out, name="project")(cat)
+
+
+class SE3Trunk(nn.Module):
+    """The reference ``SE3Transformer`` trunk (``model/transformer.py``):
+    attention+norm stack, then a final self-interacting TFN conv, returning
+    per-node per-degree features ``{str(d): (B, N, C, 2d+1)}`` — the exact
+    surface the reference's own QA exercises
+    (``SE3Transformer/tests/test_equivariance.py``: type-0 outputs must be
+    rotation-invariant, type-1 outputs must co-rotate). The pooled QM9
+    regression head lives in :class:`SE3Transformer` below; this module
+    exists so those equivariance contracts can be tested on arbitrary
+    input/output fibers, e.g. the reference test's ``{0: C, 1: C}``."""
+
+    fiber_in: Any
+    fiber_hidden: Any
+    fiber_out: Any
+    num_layers: int = 2
+    num_heads: int = 2
+    channels_div: int = 2
+
+    @nn.compact
+    def __call__(self, positions, feats, mask):
+        """positions (B, N, 3); feats {str(d): (B, N, C, 2d+1)};
+        mask (B, N) 1 = real node."""
+        rel = positions[:, :, None, :] - positions[:, None, :, :]
+        dist = jnp.linalg.norm(rel + 1e-12, axis=-1, keepdims=True)
+        max_deg = max(*self.fiber_in, *self.fiber_hidden, *self.fiber_out)
+        basis = se3_basis(rel, max_deg)
+        fiber = dict(self.fiber_in)
+        for i in range(self.num_layers):
+            feats = AttentionBlockSE3(
+                fiber, self.fiber_hidden, self.num_heads, self.channels_div,
+                name=f"attn{i}",
+            )(feats, dist, basis, mask)
+            feats = NormSE3(self.fiber_hidden, name=f"norm{i}")(feats)
+            fiber = dict(self.fiber_hidden)
+        return ConvSE3(fiber, self.fiber_out, pool=True,
+                       self_interaction=True, name="final_conv")(
+            feats, dist, basis, mask)
 
 
 class SE3Transformer(nn.Module):

@@ -104,6 +104,72 @@ def test_model_rotation_invariance():
                                rtol=2e-3, atol=2e-4)
 
 
+def _trunk_outputs(rot, ds, pooling=None):
+    """Port of the reference equivariance-test harness
+    (``SE3Transformer/tests/test_equivariance.py:_get_outputs``): run the
+    trunk on (coords, {type-0, type-1} features) and on the ROTATED pair
+    (coords @ R.T, feats1 transformed by the degree-1 Wigner-D), returning
+    both output fiber dicts. The reference cannot be imported here (its
+    model math lives in dgl + e3nn, neither installed — see COVERAGE.md),
+    so its test *semantics* are asserted on our implementation instead."""
+    from deeplearningexamples_tpu.models.se3_transformer import SE3Trunk
+
+    c, n = 8, 10
+    trunk = SE3Trunk(fiber_in={0: c, 1: c}, fiber_hidden={0: c, 1: c, 2: c},
+                     fiber_out={0: c, 1: c}, num_layers=2, num_heads=2)
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.normal(size=(2, n, 3)), jnp.float32)
+    feats = {
+        "0": jnp.asarray(rng.normal(size=(2, n, c, 1)), jnp.float32),
+        "1": jnp.asarray(rng.normal(size=(2, n, c, 3)), jnp.float32),
+    }
+    mask = jnp.ones((2, n))
+    params = trunk.init(jax.random.key(0), pos, feats, mask)["params"]
+
+    out1 = trunk.apply({"params": params}, pos, feats, mask)
+    feats_r = {"0": feats["0"], "1": feats["1"] @ ds[1].T}
+    out2 = trunk.apply({"params": params}, pos @ rot.T, feats_r, mask)
+    if pooling == "avg":
+        out1 = {d: jnp.mean(x, axis=1) for d, x in out1.items()}
+        out2 = {d: jnp.mean(x, axis=1) for d, x in out2.items()}
+    return out1, out2
+
+
+def test_trunk_equivariance():
+    """Reference ``test_equivariance``: per-node type-0 outputs invariant,
+    type-1 outputs equivariant under a random rotation of the inputs."""
+    rng = np.random.default_rng(11)
+    rot = _random_rotation(rng)
+    ds = _wigner_d(rot, 1, rng)
+    out1, out2 = _trunk_outputs(rot, ds)
+    np.testing.assert_allclose(np.asarray(out2["0"]), np.asarray(out1["0"]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out2["1"]),
+                               np.asarray(out1["1"] @ ds[1].T), atol=2e-3)
+
+
+def test_trunk_equivariance_pooled():
+    """Reference ``test_equivariance_pooled``: avg-pooled type-1 features
+    co-rotate."""
+    rng = np.random.default_rng(12)
+    rot = _random_rotation(rng)
+    ds = _wigner_d(rot, 1, rng)
+    out1, out2 = _trunk_outputs(rot, ds, pooling="avg")
+    np.testing.assert_allclose(np.asarray(out2["1"]),
+                               np.asarray(out1["1"] @ ds[1].T), atol=2e-3)
+
+
+def test_trunk_invariance_pooled():
+    """Reference ``test_invariance_pooled``: avg-pooled type-0 features
+    invariant."""
+    rng = np.random.default_rng(13)
+    rot = _random_rotation(rng)
+    ds = _wigner_d(rot, 1, rng)
+    out1, out2 = _trunk_outputs(rot, ds, pooling="avg")
+    np.testing.assert_allclose(np.asarray(out2["0"]), np.asarray(out1["0"]),
+                               atol=2e-3)
+
+
 def test_se3_trains():
     from deeplearningexamples_tpu.core.train import create_train_state, make_train_step
 
