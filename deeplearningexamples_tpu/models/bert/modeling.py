@@ -66,6 +66,14 @@ class BertConfig:
     # remat_policy "full" recomputes everything; "dots" saves matmul outputs
     # and recomputes only elementwise ops (jax checkpoint_policies)
     remat_policy: str = "dots"
+    # "flash" (default): the Pallas kernel at every length. A plain-XLA
+    # path ("xla") exists for debugging/ablation but is a measured NEGATIVE
+    # result even at s128, where the isolated kernel microbench favors it
+    # (fwd+bwd 1.56 vs 2.02 ms, perf/s128_probe.py): in the FULL train step
+    # the materialized fp32 (B,H,S,S) scores cost more in HBM traffic and
+    # lost fusion than the kernel's 0.46 ms/layer win — step-level A/B at
+    # B64 S128: flash 172.8 ms vs xla 197.1 ms (NOTES.md s128 ceiling).
+    attention_impl: str = "flash"
 
     @property
     def head_dim(self) -> int:
@@ -145,7 +153,23 @@ class BertSelfAttention(nn.Module):
                    name="key")(x).reshape(b, s, h, hd)
         v = _dense(cfg.hidden_size, cfg, dtype=self.dtype,
                    name="value")(x).reshape(b, s, h, hd)
-        if not deterministic and cfg.attention_dropout > 0.0:
+        if cfg.attention_impl == "xla":
+            # short-seq path: the (B, H, S, S) scores fit comfortably, XLA
+            # fuses scale+mask+softmax into the matmul epilogue, and the
+            # bf16 MXU path carries both dots (see attention_impl above)
+            scale = 1.0 / np.sqrt(hd)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(
+                attention_mask[:, None, None, :].astype(bool), logits,
+                jnp.float32(-1e9))
+            p = jax.nn.softmax(logits, axis=-1)
+            if not deterministic and cfg.attention_dropout > 0.0:
+                # reference drops attention PROBABILITIES (modeling.py:355)
+                p = RegenDropout(cfg.attention_dropout)(
+                    p, deterministic=False)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(self.dtype), v)
+        elif not deterministic and cfg.attention_dropout > 0.0:
             # reference drops attention PROBABILITIES (modeling.py:355);
             # the kernel applies the mask in-VMEM (hw PRNG / stateless
             # hash) — a fresh int32 seed per step from the flax dropout rng

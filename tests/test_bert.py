@@ -102,6 +102,30 @@ def test_lamb_grad_clip():
     assert np.all(np.isfinite(np.asarray(updates["w"])))
 
 
+def test_attention_impl_xla_matches_flash():
+    """attention_impl="xla" (short-seq ablation path) must produce the same
+    forward as the flash kernel — same params, nontrivial padding mask."""
+    import dataclasses
+
+    from deeplearningexamples_tpu.models.bert.modeling import BertModel
+
+    cfg_xla = dataclasses.replace(TINY, attention_impl="xla")
+    m_flash = BertModel(TINY, dtype=jnp.float32)
+    m_xla = BertModel(cfg_xla, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.key(0), (2, 32), 0, 1000)
+    mask = jnp.asarray(np.concatenate(
+        [np.ones((2, 20), np.int32), np.zeros((2, 12), np.int32)], axis=1))
+    variables = m_flash.init(jax.random.key(1), ids, mask)
+    seq_flash, pooled_flash = m_flash.apply(variables, ids, mask)
+    seq_xla, pooled_xla = m_xla.apply(variables, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(seq_flash)[:, :20], np.asarray(seq_xla)[:, :20],
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(pooled_flash), np.asarray(pooled_xla),
+        rtol=2e-4, atol=2e-4)
+
+
 def test_remat_same_loss():
     cfg_remat = BertConfig(
         vocab_size=1000, hidden_size=64, num_layers=2, num_heads=2,
