@@ -39,6 +39,8 @@ BASELINES = {
     # inference rows (BASELINE.md "Inference throughput / latency")
     "rn50_infer_bs256": (1261.0, "img/s/chip"),  # resnet50v1.5/README.md:638
     "rn50_infer_bs1_latency": (10.37, "ms"),  # resnet50v1.5/README.md:630
+    # same baseline row, measured like-for-like (host-inclusive end-to-end)
+    "rn50_infer_bs1_latency_e2e": (10.37, "ms"),
     "ssd300_infer_bs1": (158.83, "img/s/chip"),  # SSD/README.md:686
 }
 
@@ -267,6 +269,30 @@ def bench_rn50_infer(bs):
     return _device_loop_time(apply_fn, x, iters=50 if bs == 1 else 20)
 
 
+def bench_rn50_infer_e2e(bs=1, reqs=20):
+    """Host-inclusive per-request latency: host array in, logits fetched
+    back to host, per sequential request — the methodology of the A100
+    baseline row (``resnet50v1.5/README.md:630``, host-to-host). On this
+    rig the host link is a remote tunnel, so this OVERSTATES what a
+    colocated host would see; together with the chip-side number it
+    brackets the true deployment latency."""
+    from deeplearningexamples_tpu.models.convnets import ARCHS, ResNet
+
+    model = ResNet(ARCHS["resnet50"], num_classes=1000, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(size=(bs, 224, 224, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x_np), train=False)
+    infer = jax.jit(lambda img: model.apply(variables, img, train=False))
+
+    np.asarray(infer(jnp.asarray(x_np)))  # compile + warm
+    times = []
+    for _ in range(reqs):
+        t0 = time.perf_counter()
+        np.asarray(infer(jnp.asarray(x_np)))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
+
+
 def bench_ssd300_infer_bs1():
     from deeplearningexamples_tpu.models.ssd import SSDTask
 
@@ -342,6 +368,7 @@ def main():
         ("waveglow_train_throughput", bench_waveglow),
         ("rn50_infer_bs256", lambda: 256 / bench_rn50_infer(256)),
         ("rn50_infer_bs1_latency", lambda: bench_rn50_infer(1) * 1e3),
+        ("rn50_infer_bs1_latency_e2e", bench_rn50_infer_e2e),
         ("ssd300_infer_bs1", bench_ssd300_infer_bs1),
     ]:
         base, unit = BASELINES[name]
@@ -354,6 +381,17 @@ def main():
             ratio = base / v if unit == "ms" else v / base
             entry = {"value": round(v, 2), "unit": unit,
                      "vs_baseline": round(ratio, 4)}
+            # methodology annotations so the record is self-describing:
+            # the chip-side bs1 number excludes the host round-trip the
+            # A100 baseline includes; the _e2e row is the like-for-like one
+            # (over a remote tunnel here, so it overstates a colocated host)
+            if name == "rn50_infer_bs1_latency":
+                entry["note"] = ("chip-side fori_loop; excludes host RTT — "
+                                 "not like-for-like with the host-inclusive "
+                                 "A100 row, see rn50_infer_bs1_latency_e2e")
+            elif name == "rn50_infer_bs1_latency_e2e":
+                entry["note"] = ("host-inclusive per-request over a remote "
+                                 "tunnel; overstates a colocated host")
         except Exception:
             traceback.print_exc()
             entry = {"value": None, "unit": unit, "vs_baseline": None}
