@@ -36,6 +36,7 @@ __all__ = [
     "transformer_xl_generate_endpoint",
     "unet_endpoint",
     "ncf_endpoint",
+    "fastpitch_hifigan_endpoint",
 ]
 
 
@@ -378,6 +379,55 @@ def ncf_endpoint(
             "items": ((n_candidates,), "int32"),
         },
         output_names=("scores", "ranking"),
+    )
+
+
+def fastpitch_hifigan_endpoint(
+    fp_task, fp_params, hifi_task, hifi_params, *,
+    name: str = "fastpitch_tts",
+    max_text_len: int = 128,
+    max_mel_len: int = 832,
+    pace: float = 1.0,
+    batch_buckets=(1, 2, 4),
+) -> ModelEndpoint:
+    """Parallel text-to-speech endpoint (reference ``FastPitch/triton/`` —
+    FastPitch mel generation paired with the HiFi-GAN vocoder,
+    ``FastPitch/inference.py``): padded symbol ids -> waveform.
+
+    One jitted chain: FastPitch ``infer`` (duration/pitch(/energy)
+    prediction + length regulation, static ``max_mel_len``) -> HiFi-GAN
+    generator (mel -> audio at ``hop_length`` samples/frame). Returns the
+    full padded waveform plus ``audio_len`` (= predicted mel frames x hop)
+    so the client trims; mel frames past the predicted length are masked
+    by the length regulator, matching the reference's padded-batch
+    deployment shape."""
+    fp = fp_task.model
+    gen = hifi_task.gen
+    hop = hifi_task.cfg.hop_length
+    if fp_task.cfg.n_mels != hifi_task.cfg.n_mels:
+        raise ValueError(
+            f"FastPitch n_mels {fp_task.cfg.n_mels} != HiFiGAN n_mels "
+            f"{hifi_task.cfg.n_mels}")
+
+    def synth(text):
+        mel, mel_len = fp.apply({"params": fp_params}, text,
+                                pace=pace, max_mel_len=max_mel_len,
+                                method=fp.infer)
+        audio = gen.apply({"params": hifi_params}, mel)
+        return mel_len.astype(jnp.int32), audio.astype(jnp.float32)
+
+    synth = jax.jit(synth)
+
+    def fn(batch):
+        mel_len, audio = synth(jnp.asarray(batch["text"], jnp.int32))
+        return {"audio": audio, "audio_len": mel_len * hop,
+                "mel_len": mel_len}
+
+    return ModelEndpoint(
+        name=name,
+        batcher=ContinuousBatcher(fn, batch_buckets=batch_buckets),
+        input_spec={"text": ((max_text_len,), "int32")},
+        output_names=("audio", "audio_len", "mel_len"),
     )
 
 

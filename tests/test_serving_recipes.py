@@ -353,3 +353,64 @@ def test_tft_model_repository_roundtrip(tmp_path):
     finally:
         ep.batcher.close()
         ep2.batcher.close()
+
+
+def test_fastpitch_hifigan_endpoint_roundtrip(tmp_path):
+    """Parallel TTS serving (reference ``FastPitch/triton/`` — FastPitch +
+    HiFi-GAN vocoder): padded symbol ids -> waveform; repo export/restore of
+    both param trees is bit-identical."""
+    from deeplearningexamples_tpu.models.tts import (
+        FastPitchConfig, FastPitchTask, HiFiGanConfig, HiFiGanTask,
+    )
+    from deeplearningexamples_tpu.serving import (
+        load_model_repository, save_model_repository,
+    )
+    from deeplearningexamples_tpu.serving.recipes import (
+        fastpitch_hifigan_endpoint,
+    )
+
+    fcfg = FastPitchConfig(n_symbols=32, d_model=16, n_heads=1, head_dim=16,
+                           encoder_layers=1, decoder_layers=1,
+                           conv_filters=32, n_mels=8, max_mel_len=64,
+                           predictor_filters=8, energy=True)
+    hcfg = HiFiGanConfig(n_mels=8, upsample_rates=(4, 2),
+                         upsample_kernels=(8, 4),
+                         upsample_initial_channel=16,
+                         resblock_kernels=(3,), resblock_dilations=((1, 3),),
+                         segment_length=256, hop_length=8,
+                         mpd_channels=(4, 8), msd_channels=(4, 8),
+                         msd_scales=2)
+    fp_task = FastPitchTask(fcfg, jnp.float32)
+    hf_task = HiFiGanTask(hcfg, jnp.float32)
+    fp_params, _ = fp_task.init(jax.random.key(0))
+    g_params, _ = hf_task.init(jax.random.key(1))
+
+    ep = fastpitch_hifigan_endpoint(
+        fp_task, fp_params, hf_task, g_params,
+        max_text_len=16, max_mel_len=32, batch_buckets=(1, 2))
+    save_model_repository(
+        str(tmp_path), "fastpitch_tts",
+        {"fastpitch": fp_params, "hifigan": g_params},
+        input_spec=ep.input_spec, output_names=ep.output_names)
+    template = jax.tree_util.tree_map(
+        np.zeros_like, {"fastpitch": fp_params, "hifigan": g_params})
+    restored, _ = load_model_repository(str(tmp_path), "fastpitch_tts",
+                                        template)
+    ep2 = fastpitch_hifigan_endpoint(
+        fp_task, restored["fastpitch"], hf_task, restored["hifigan"],
+        name="fastpitch_tts_restored", max_text_len=16, max_mel_len=32,
+        batch_buckets=(1, 2))
+    try:
+        text = np.zeros((16,), np.int32)
+        text[:5] = [3, 7, 11, 2, 9]
+        a = ep.batcher.infer({"text": text}, timeout=300)
+        b = ep2.batcher.infer({"text": text}, timeout=300)
+        hop = hcfg.hop_length
+        assert a["audio"].shape == (32 * hop,)
+        assert int(a["audio_len"]) == int(a["mel_len"]) * hop
+        assert 0 <= int(a["mel_len"]) <= 32
+        assert np.all(np.abs(a["audio"]) <= 1.0)  # tanh output
+        np.testing.assert_array_equal(a["audio"], b["audio"])
+    finally:
+        ep.batcher.close()
+        ep2.batcher.close()
