@@ -142,12 +142,35 @@ def _se3_entry(dtype=jnp.float32):
     return SE3Transformer(SE3Config())
 
 
+def _fastpitch_entry(cfg=None, dtype=jnp.bfloat16):
+    """Reference ``hubconf.py:29`` (``nvidia_fastpitch``)."""
+    from .models.tts import FastPitch, FastPitchConfig
+
+    return FastPitch(cfg or FastPitchConfig(), dtype)
+
+
+def _hifigan_entry(cfg=None, dtype=jnp.bfloat16):
+    """Reference ``hubconf.py:31`` (``nvidia_hifigan`` — the generator;
+    inference deployments never ship the discriminators)."""
+    from .models.tts import HiFiGanConfig, HiFiGanGenerator
+
+    return HiFiGanGenerator(cfg or HiFiGanConfig(), dtype)
+
+
+def _tft_entry(cfg=None, dtype=jnp.float32):
+    """Reference ``hubconf.py:34`` (``nvidia_tft``)."""
+    from .models.tft import TFT, TFTConfig
+
+    return TFT(cfg or TFTConfig(), dtype)
+
+
 _REGISTRY.update(
     ssd300=_ssd_entry, bert=_bert_entry, tacotron2=_tacotron2_entry,
     waveglow=_waveglow_entry, dlrm=_dlrm_entry,
     transformer=_transformer_entry, ncf=_ncf_entry,
     efficientdet=_efficientdet_entry, maskrcnn=_maskrcnn_entry,
     moflow=_moflow_entry, se3_transformer=_se3_entry,
+    fastpitch=_fastpitch_entry, hifigan=_hifigan_entry, tft=_tft_entry,
 )
 
 
@@ -232,6 +255,30 @@ def _se3_init(model, rng):
     )
 
 
+def _fastpitch_init(model, rng):
+    text = jnp.ones((1, 16), jnp.int32)
+    return model.init(
+        {"params": rng, "dropout": jax.random.key(1)},
+        text, text, jnp.zeros((1, 16)), max_mel_len=32,
+    )
+
+
+def _hifigan_init(model, rng):
+    return model.init(rng, jnp.zeros((1, 32, model.cfg.n_mels)))
+
+
+def _tft_init(model, rng):
+    cfg = model.cfg
+    x = {
+        "s_cat": jnp.zeros((1, cfg.num_static_vars), jnp.int32),
+        "k_cont": jnp.zeros((1, cfg.example_length, cfg.n_known)),
+        "target": jnp.zeros((1, cfg.encoder_len, 1)),
+    }
+    if cfg.n_observed_cont:
+        x["o_cont"] = jnp.zeros((1, cfg.encoder_len, cfg.n_observed_cont))
+    return model.init({"params": rng, "dropout": jax.random.key(1)}, x)
+
+
 _INIT: dict[str, Callable] = {
     **{a: _img_init(380 if "b4" in a else 224) for a in (
         "resnet50", "resnext101-32x4d", "se-resnext101-32x4d",
@@ -250,6 +297,9 @@ _INIT: dict[str, Callable] = {
     "maskrcnn": _maskrcnn_init,
     "moflow": _moflow_init,
     "se3_transformer": _se3_init,
+    "fastpitch": _fastpitch_init,
+    "hifigan": _hifigan_init,
+    "tft": _tft_init,
 }
 
 
@@ -284,9 +334,43 @@ def _make_gpunet_converter(arch_name):
     return conv
 
 
+def _convert_fastpitch(model, path):
+    from .utils.torch_import import convert_fastpitch, load_torch_state_dict
+
+    cfg = model.cfg
+    params = convert_fastpitch(
+        load_torch_state_dict(path), cfg.encoder_layers, cfg.decoder_layers,
+        energy=cfg.energy)
+    return {"params": params}
+
+
+def _convert_hifigan(model, path):
+    from .utils.torch_import import (
+        convert_hifigan_generator, load_torch_state_dict,
+    )
+
+    cfg = model.cfg
+    params = convert_hifigan_generator(
+        load_torch_state_dict(path), len(cfg.upsample_rates),
+        len(cfg.resblock_kernels), len(cfg.resblock_dilations[0]))
+    return {"params": params}
+
+
+def _convert_tft(model, path):
+    from .utils.torch_import import convert_tft, load_torch_state_dict
+
+    cfg = model.cfg
+    params = convert_tft(load_torch_state_dict(path), cfg.num_static_vars,
+                         cfg.num_historic_vars, cfg.num_future_vars)
+    return {"params": params}
+
+
 _TORCH_CONVERTERS: dict[str, Callable] = {
     "resnet50": _convert_resnet50,
     "bert": _convert_bert,
     **{a: _make_gpunet_converter(a)
        for a in ("gpunet-0", "gpunet-1", "gpunet-2")},
+    "fastpitch": _convert_fastpitch,
+    "hifigan": _convert_hifigan,
+    "tft": _convert_tft,
 }

@@ -258,7 +258,9 @@ class FastPitch(nn.Module):
         y, mel_mask = length_regulate(x, dur, max_mel_len)
         y = self._fft(self.dec, y, mel_mask.astype(jnp.int32), True)
         mel = self.mel_proj(y.astype(jnp.float32))
-        mel_len = jnp.sum(dur, axis=1)
+        # total predicted duration can exceed the padded buffer; the mel past
+        # max_mel_len does not exist, so the reported length must saturate
+        mel_len = jnp.minimum(jnp.sum(dur, axis=1), max_mel_len)
         return mel, mel_len
 
 
