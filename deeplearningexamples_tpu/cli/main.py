@@ -1250,6 +1250,7 @@ def run_bart(cfg: BartCliConfig) -> None:
                 batch["src"].shape[0], beam,
                 max_len=cfg.max_target_len + 2, bos_id=tcfg.bos_id,
                 eos_id=tcfg.eos_id, pad_id=tcfg.pad_id,
+                vocab_size=tcfg.vocab_size,
             )
             best = np.asarray(seqs[:, 0])
             for row, tgt in zip(best, batch["tgt"]):

@@ -340,7 +340,7 @@ def _convert_fastpitch(model, path):
     cfg = model.cfg
     params = convert_fastpitch(
         load_torch_state_dict(path), cfg.encoder_layers, cfg.decoder_layers,
-        energy=cfg.energy)
+        n_pred_layers=cfg.predictor_layers, energy=cfg.energy)
     return {"params": params}
 
 

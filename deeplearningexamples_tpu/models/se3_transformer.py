@@ -245,6 +245,29 @@ class AttentionBlockSE3(nn.Module):
         return LinearSE3(self.fiber_out, name="project")(cat)
 
 
+def _run_trunk(positions, feats, mask, *, fiber_in, fiber_hidden, fiber_out,
+               num_layers, num_heads, channels_div):
+    """Shared attention+norm stack and final self-interacting TFN conv.
+
+    Called from inside a ``@nn.compact`` ``__call__`` — the submodules it
+    creates register on the CALLING module, so :class:`SE3Trunk` and
+    :class:`SE3Transformer` keep identical param trees (``attn{i}``,
+    ``norm{i}``, ``final_conv`` at the top level)."""
+    rel = positions[:, :, None, :] - positions[:, None, :, :]
+    dist = jnp.linalg.norm(rel + 1e-12, axis=-1, keepdims=True)
+    max_deg = max(*fiber_in, *fiber_hidden, *fiber_out)
+    basis = se3_basis(rel, max_deg)
+    fiber = dict(fiber_in)
+    for i in range(num_layers):
+        feats = AttentionBlockSE3(
+            fiber, fiber_hidden, num_heads, channels_div, name=f"attn{i}",
+        )(feats, dist, basis, mask)
+        feats = NormSE3(fiber_hidden, name=f"norm{i}")(feats)
+        fiber = dict(fiber_hidden)
+    return ConvSE3(fiber, fiber_out, pool=True, self_interaction=True,
+                   name="final_conv")(feats, dist, basis, mask)
+
+
 class SE3Trunk(nn.Module):
     """The reference ``SE3Transformer`` trunk (``model/transformer.py``):
     attention+norm stack, then a final self-interacting TFN conv, returning
@@ -267,21 +290,12 @@ class SE3Trunk(nn.Module):
     def __call__(self, positions, feats, mask):
         """positions (B, N, 3); feats {str(d): (B, N, C, 2d+1)};
         mask (B, N) 1 = real node."""
-        rel = positions[:, :, None, :] - positions[:, None, :, :]
-        dist = jnp.linalg.norm(rel + 1e-12, axis=-1, keepdims=True)
-        max_deg = max(*self.fiber_in, *self.fiber_hidden, *self.fiber_out)
-        basis = se3_basis(rel, max_deg)
-        fiber = dict(self.fiber_in)
-        for i in range(self.num_layers):
-            feats = AttentionBlockSE3(
-                fiber, self.fiber_hidden, self.num_heads, self.channels_div,
-                name=f"attn{i}",
-            )(feats, dist, basis, mask)
-            feats = NormSE3(self.fiber_hidden, name=f"norm{i}")(feats)
-            fiber = dict(self.fiber_hidden)
-        return ConvSE3(fiber, self.fiber_out, pool=True,
-                       self_interaction=True, name="final_conv")(
-            feats, dist, basis, mask)
+        return _run_trunk(
+            positions, feats, mask,
+            fiber_in=self.fiber_in, fiber_hidden=self.fiber_hidden,
+            fiber_out=self.fiber_out, num_layers=self.num_layers,
+            num_heads=self.num_heads, channels_div=self.channels_div,
+        )
 
 
 class SE3Transformer(nn.Module):
@@ -295,21 +309,14 @@ class SE3Transformer(nn.Module):
         """positions (B, N, 3); node_feats (B, N, F) invariant scalars;
         mask (B, N) 1 = real atom. Returns (B, out_dim)."""
         cfg = self.cfg
-        rel = positions[:, :, None, :] - positions[:, None, :, :]
-        dist = jnp.linalg.norm(rel + 1e-12, axis=-1, keepdims=True)
-        basis = se3_basis(rel, cfg.max_degree)
         feats = {"0": node_feats[..., None]}  # (B, N, F, 1)
-        fiber = {0: cfg.node_feature_dim}
-        for i in range(cfg.num_layers):
-            feats = AttentionBlockSE3(
-                fiber, cfg.fiber_hidden, cfg.num_heads, cfg.channels_div,
-                name=f"attn{i}",
-            )(feats, dist, basis, mask)
-            feats = NormSE3(cfg.fiber_hidden, name=f"norm{i}")(feats)
-            fiber = cfg.fiber_hidden
         out_fiber = {0: cfg.num_degrees * cfg.num_channels}
-        feats = ConvSE3(fiber, out_fiber, pool=True, self_interaction=True,
-                        name="final_conv")(feats, dist, basis, mask)
+        feats = _run_trunk(
+            positions, feats, mask,
+            fiber_in={0: cfg.node_feature_dim}, fiber_hidden=cfg.fiber_hidden,
+            fiber_out=out_fiber, num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads, channels_div=cfg.channels_div,
+        )
         scalars = feats["0"][..., 0]  # (B, N, C)
         if cfg.pooling == "max":
             pooled = jnp.max(

@@ -28,10 +28,15 @@ def beam_search(
     eos_id: int = 2,
     pad_id: int = 1,
     length_penalty: float = 0.6,
+    vocab_size: int | None = None,
 ):
     """``decode_logits(tgt_ids (B*beam, L)) -> (B*beam, L, V)``: full-prefix
     causal decoder (the encoder memory is closed over, pre-tiled to B*beam).
-    Returns (sequences (B, beam, L), scores (B, beam)) sorted best-first."""
+    Returns (sequences (B, beam, L), scores (B, beam)) sorted best-first.
+
+    ``vocab_size``: logit columns at or past it are lane-padding (models
+    emit ``cfg.padded_vocab``-wide logits for the MXU) — mask them so a
+    padded id can never be emitted."""
     bb = batch_size * beam_size
 
     seqs = jnp.full((bb, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
@@ -46,6 +51,8 @@ def beam_search(
         logits = decode_logits(seqs)  # (bb, L, V)
         logp = jax.nn.log_softmax(logits[:, t - 1].astype(jnp.float32), axis=-1)
         v = logp.shape[-1]
+        if vocab_size is not None and vocab_size < v:
+            logp = jnp.where(jnp.arange(v)[None, :] < vocab_size, logp, NEG)
         # finished beams: only "pad" continuation at no cost
         cont = jnp.where(finished[:, None], NEG, logp)
         cont = jnp.where(
@@ -91,11 +98,13 @@ def beam_search_cached(
     eos_id: int = 2,
     pad_id: int = 1,
     length_penalty: float = 0.6,
+    vocab_size: int | None = None,
 ):
     """KV-cached beam search over ``Transformer.decode_step``: O(L) decoder
     work per step instead of the full-prefix O(L^2) of ``beam_search``.
     The flax "cache" collection rides in the loop carry and is gathered
-    along the batch axis when beams reorder."""
+    along the batch axis when beams reorder. ``vocab_size`` masks
+    lane-padded logit columns (see ``beam_search``)."""
     if max_len > model.cfg.max_len:
         raise ValueError(
             f"max_len={max_len} exceeds the model's KV-cache capacity "
@@ -123,6 +132,8 @@ def beam_search_cached(
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         v = logp.shape[-1]
+        if vocab_size is not None and vocab_size < v:
+            logp = jnp.where(jnp.arange(v)[None, :] < vocab_size, logp, NEG)
         cont = jnp.where(finished[:, None], NEG, logp)
         cont = jnp.where(
             finished[:, None] & (jnp.arange(v)[None, :] == pad_id), 0.0, cont

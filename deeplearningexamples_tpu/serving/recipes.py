@@ -117,6 +117,7 @@ def bart_endpoint(
             src.shape[0], beam_size,
             max_len=max_target_len, bos_id=tcfg.bos_id,
             eos_id=tcfg.eos_id, pad_id=tcfg.pad_id,
+            vocab_size=tcfg.vocab_size,
         )
         return seqs[:, 0], scores[:, 0]
 
@@ -250,6 +251,7 @@ def gnmt_endpoint(
         seqs, scores = beam_search(
             decode_logits, b, beam_size, max_len=max_target_len,
             bos_id=cfg.bos_id, eos_id=cfg.eos_id, pad_id=cfg.pad_id,
+            vocab_size=cfg.vocab_size,
         )
         return seqs[:, 0], scores[:, 0]
 
@@ -291,7 +293,10 @@ def transformer_xl_generate_endpoint(
         def step(i, carry):
             window, out = carry
             logits, _ = model.apply({"params": params}, window)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            # logits are cfg.padded_vocab wide (lane padding); a padded id
+            # must never be emitted or fed back into the context window
+            nxt = jnp.argmax(
+                logits[:, -1, :cfg.vocab_size], axis=-1).astype(jnp.int32)
             window = jnp.concatenate([window[:, 1:], nxt[:, None]], axis=1)
             return window, jax.lax.dynamic_update_index_in_dim(
                 out, nxt, i, axis=1)
@@ -408,6 +413,13 @@ def fastpitch_hifigan_endpoint(
         raise ValueError(
             f"FastPitch n_mels {fp_task.cfg.n_mels} != HiFiGAN n_mels "
             f"{hifi_task.cfg.n_mels}")
+    up = 1
+    for r in hifi_task.cfg.upsample_rates:
+        up *= r
+    if up != hop:
+        raise ValueError(
+            f"HiFiGAN upsample_rates product {up} != hop_length {hop}; "
+            "audio_len (= mel frames x hop) would mis-state the waveform")
 
     def synth(text):
         mel, mel_len = fp.apply({"params": fp_params}, text,

@@ -98,7 +98,8 @@ Thread sweep (aggregate img/s by pool size on this {n_cores}-core host):
 On a 1-core host, oversubscribed threads timeslice one core: a FLAT
 aggregate rate across the sweep means the pool has no shared-state
 serialization (each image is one independent task); lock or allocator
-contention would show as a drop. Measured degradation at 8 threads vs 1:
+contention would show as a drop. Measured degradation of the WORST
+oversubscribed pool size vs the {n_cores}-thread rate:
 **{contention_pct:.1f}%** — {"negligible, so per-core scaling to many cores is evidence-backed, not assumed" if contention_pct < 10 else "NON-TRIVIAL: revisit the pool before projecting linear scaling"}.
 
 The reference feeds 1xA100 at 2,470 img/s with DALI (hybrid GPU decode).

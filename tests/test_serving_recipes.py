@@ -221,6 +221,9 @@ def test_gnmt_endpoint_roundtrip(tmp_path):
         b = ep2.batcher.infer({"src": src}, timeout=300)
         assert a["tokens"].shape == (8,)
         assert int(a["tokens"][0]) == cfg.bos_id
+        # classifier logits are padded_vocab (128) wide; lane-padded ids
+        # must never surface even on an untrained model
+        assert np.all((a["tokens"] >= 0) & (a["tokens"] < cfg.vocab_size))
         assert np.isfinite(a["scores"])
         np.testing.assert_array_equal(a["tokens"], b["tokens"])
     finally:
@@ -249,8 +252,10 @@ def test_transformer_xl_generate_endpoint():
         a = ep.batcher.infer({"context": ctx}, timeout=300)
         b = ep.batcher.infer({"context": ctx}, timeout=300)
         assert a["generated"].shape == (8,)
+        # logits are padded_vocab (128) wide; greedy decode must never
+        # emit a lane-padded id (it would feed back into the window)
         assert np.all((a["generated"] >= 0)
-                      & (a["generated"] < cfg.padded_vocab))
+                      & (a["generated"] < cfg.vocab_size))
         np.testing.assert_array_equal(a["generated"], b["generated"])
     finally:
         ep.batcher.close()
