@@ -60,6 +60,7 @@ class CommonConfig:
     steps_per_epoch: int = 100  # synthetic backend epoch length
     mesh_data: int = -1
     mesh_model: int = 1
+    mesh_sequence: int = 1  # context parallelism (BERT --attention-impl ring)
     amp: bool = True  # bf16 compute (reference AMP flag; bf16 needs no scaler)
     early_stopping_patience: int = -1
     # dropout/noise PRNG: "auto" = hardware RngBitGenerator on TPU (measured
@@ -86,7 +87,8 @@ def _make_schedule(cfg: CommonConfig, steps_per_epoch: int):
 
 
 def _common_setup(cfg: CommonConfig, name: str):
-    mesh = build_mesh(MeshSpec(data=cfg.mesh_data, model=cfg.mesh_model))
+    mesh = build_mesh(MeshSpec(data=cfg.mesh_data, model=cfg.mesh_model,
+                               sequence=cfg.mesh_sequence))
     logger = Logger(
         backends=[
             StdOutBackend(),
@@ -277,6 +279,9 @@ class BertCliConfig(CommonConfig):
     # for A/B and for larger-model regimes where optimizer traffic dominates
     flat_lamb: bool = False
     binned: bool = False  # LDDL-style sequence-length binning (wiki backend)
+    # "flash" (default) | "xla" (short-seq ablation) | "ring"
+    # (sequence-parallel over the mesh `sequence` axis; set --mesh-sequence N)
+    attention_impl: str = "flash"
 
 
 def run_bert_pretrain(cfg: BertCliConfig) -> None:
@@ -289,7 +294,11 @@ def run_bert_pretrain(cfg: BertCliConfig) -> None:
     if cfg.phase2:
         cfg.seq_len, cfg.max_predictions = 512, 76
     mesh, logger = _common_setup(cfg, "bert_pretrain")
-    bcfg = dc.replace(BERT_CONFIGS[cfg.bert_model], remat=cfg.remat)
+    bcfg = dc.replace(BERT_CONFIGS[cfg.bert_model], remat=cfg.remat,
+                      attention_impl=cfg.attention_impl)
+    if cfg.attention_impl == "ring":
+        # the ambient mesh gives ops/ring_attention.py its `sequence` axis
+        jax.set_mesh(mesh)
     task = BertPretrainTask(bcfg, _dtype(cfg), max_predictions=cfg.max_predictions)
     params, mstate = task.init(jax.random.key(cfg.seed), seq_len=cfg.seq_len)
     if cfg.data_backend == "corpus":

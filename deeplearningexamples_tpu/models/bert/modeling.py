@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops import flash_attention
+from ...ops import flash_attention, ring_attention
 from ...ops.dropout import RegenDropout
 
 __all__ = [
@@ -73,6 +73,9 @@ class BertConfig:
     # the materialized fp32 (B,H,S,S) scores cost more in HBM traffic and
     # lost fusion than the kernel's 0.46 ms/layer win — step-level A/B at
     # B64 S128: flash 172.8 ms vs xla 197.1 ms (NOTES.md s128 ceiling).
+    # "ring": sequence-parallel ring attention over the mesh `sequence`
+    # axis (ops/ring_attention.py) for contexts past one chip's S^2 — run
+    # under jax.set_mesh; dropout via the positional-hash mask.
     attention_impl: str = "flash"
 
     @property
@@ -169,6 +172,25 @@ class BertSelfAttention(nn.Module):
                 p = RegenDropout(cfg.attention_dropout)(
                     p, deterministic=False)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", p.astype(self.dtype), v)
+        elif cfg.attention_impl == "ring":
+            # sequence-parallel long-context path (beyond the reference):
+            # exact ring attention over the mesh `sequence` axis
+            # (ops/ring_attention.py) — run under jax.set_mesh(mesh) with
+            # MeshSpec(sequence=N). Attention-prob dropout rides the same
+            # stateless positional hash as the flash kernel's interpret
+            # path (global positions — ring-decomposition-independent).
+            dr, seed = 0.0, 0
+            if not deterministic and cfg.attention_dropout > 0.0:
+                dr = cfg.attention_dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), -2**31, 2**31 - 1,
+                    dtype=jnp.int32,
+                )
+            ctx = ring_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), key_mask=attention_mask,
+                dropout_rate=dr, dropout_seed=seed,
+            ).transpose(0, 2, 1, 3)
         elif not deterministic and cfg.attention_dropout > 0.0:
             # reference drops attention PROBABILITIES (modeling.py:355);
             # the kernel applies the mask in-VMEM (hw PRNG / stateless

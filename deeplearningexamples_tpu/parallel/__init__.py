@@ -6,4 +6,5 @@ from .mesh import (
     shard_batch,
     shard_batch_local,
 )
+from .pipeline import pipeline_apply, stack_stage_params
 from .zero import shard_optimizer_state
