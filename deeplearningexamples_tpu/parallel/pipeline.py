@@ -15,9 +15,18 @@ Schedule: classic GPipe fill-and-drain. For S stages and M microbatches the
 scan runs S+M-1 ticks; at tick t, stage s computes microbatch ``t - s`` when
 ``0 <= t - s < M`` (bubble fraction (S-1)/(S+M-1) — raise M to amortize).
 All devices run every tick (SPMD), with out-of-window stages computing on
-don't-care data that is masked out of the output accumulator; 1F1B-style
-memory scheduling is a future optimization, GPipe is the correctness-first
-baseline.
+don't-care data that is masked out of the output accumulator.
+
+Memory: GPipe's weakness is holding all M microbatch activations for the
+backward pass — under ``jax.grad`` the scan stashes one stage activation
+per tick (S+M-1 of them). ``remat=True`` applies ``jax.checkpoint`` to the
+stage body so each tick stores only its INPUT activation and recomputes the
+stage forward during the backward scan — the same O(1)-per-tick activation
+footprint 1F1B scheduling buys on GPU frameworks, obtained the XLA way
+(recompute trades MXU flops, which the bubble has idle anyway, for HBM).
+True 1F1B tick reordering would not reduce the bubble further in this SPMD
+formulation (every device runs every tick regardless), so remat is the
+whole benefit, not a stand-in.
 
 Weight-update semantics are synchronous (like the reference's DDP): the
 caller differentiates through ``pipeline_apply`` and every stage's gradient
@@ -52,6 +61,7 @@ def _pipeline_local(
     stage_fn: Callable[[Any, jax.Array], jax.Array],
     axis_name: str,
     varying_axes: tuple[str, ...],
+    remat: bool,
 ):
     """Shard-local GPipe loop. ``params``: this device's stage params with a
     leading length-1 stage axis (squeezed here); ``x``: all M microbatches
@@ -68,6 +78,8 @@ def _pipeline_local(
     def varying(z):
         return jax.lax.pcast(z, varying_axes, to="varying")
 
+    compute = jax.checkpoint(stage_fn) if remat else stage_fn
+
     def body(carry, t):
         act, out = carry
         mb_idx = t - s  # which microbatch this stage works on at tick t
@@ -75,7 +87,7 @@ def _pipeline_local(
             x, jnp.clip(t, 0, m - 1), axis=0, keepdims=False
         )
         act_in = jnp.where(is_first, feed, act)
-        act_out = stage_fn(params, act_in)
+        act_out = compute(params, act_in)
         live = is_last & (mb_idx >= 0) & (mb_idx < m)
         written = jax.lax.dynamic_update_index_in_dim(
             out, act_out.astype(out.dtype), jnp.clip(mb_idx, 0, m - 1), axis=0
@@ -111,6 +123,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis_name: str = MODEL_AXIS,
     batch_axis: str | None = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Run ``microbatches`` (M, mb, ...) through S pipeline stages.
 
@@ -121,7 +134,10 @@ def pipeline_apply(
     ``batch_axis`` additionally shards each microbatch's leading batch dim
     over that mesh axis (DP×PP: every data-slice runs the same pipe on its
     shard; gradient psums over ``data`` stay the caller's business exactly
-    as in plain DP). Returns (M, mb, ...) outputs, replicated over the pipe
+    as in plain DP). ``remat=True`` checkpoints each stage application so
+    the backward pass stores one activation per tick instead of the full
+    stage graph — raise M (smaller bubble) without the GPipe memory bill.
+    Returns (M, mb, ...) outputs, replicated over the pipe
     axis, identical to applying the stages sequentially
     (``tests/test_pipeline.py`` asserts forward AND gradient equality with
     the sequential oracle).
@@ -141,6 +157,7 @@ def pipeline_apply(
             stage_fn=stage_fn,
             axis_name=axis_name,
             varying_axes=varying_axes,
+            remat=remat,
         ),
         mesh=mesh,
         in_specs=(

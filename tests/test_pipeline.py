@@ -101,6 +101,31 @@ def test_dp_x_pp_composition(stacked_params):
                                atol=1e-6, rtol=1e-6)
 
 
+def test_remat_gradients_match_sequential(stacked_params):
+    """remat=True (the 1F1B-equivalent memory mode: recompute stage forward
+    in backward, store one activation per tick) must leave gradients
+    bit-compatible with the non-remat pipeline and the sequential oracle."""
+    mesh = build_mesh(MeshSpec(data=1, model=8))
+    x = _microbatches(6, 4, seed=5)
+    tgt = jax.random.normal(jax.random.key(6), x.shape)
+
+    def pipe_loss(p, x):
+        y = pipeline_apply(stage_fn, p, x, mesh=mesh, remat=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    def seq_loss(p, x):
+        y = jax.vmap(lambda xe: sequential_oracle(p, xe))(x)
+        return jnp.mean((y - tgt) ** 2)
+
+    gp = jax.jit(jax.grad(pipe_loss))(stacked_params, x)
+    gs = jax.grad(seq_loss)(stacked_params, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
+        gp, gs,
+    )
+
+
 def test_stage_count_mismatch_raises(stacked_params):
     mesh = build_mesh(MeshSpec(data=1, model=8))
     bad = jax.tree_util.tree_map(lambda p: p[:4], stacked_params)

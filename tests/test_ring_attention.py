@@ -130,6 +130,79 @@ def test_bert_ring_impl_matches_xla(seq_mesh):
         rtol=2e-4, atol=2e-4)
 
 
+def test_zigzag_forward_matches_oracle(seq_mesh):
+    """Zigzag layout (2n-chunk load-balanced causal ring) must equal exact
+    full attention — same numerics as contiguous, half the ring FLOPs."""
+    q, k, v = _qkv(seed=11)
+    out = jax.jit(
+        lambda q, k, v: ring_attention(
+            q, k, v, mesh=seq_mesh, causal=True, zigzag=True)
+    )(q, k, v)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_zigzag_gradients_match_oracle(seq_mesh):
+    q, k, v = _qkv(seed=12)
+    g = jax.random.normal(jax.random.key(13), (B, H, S, D))
+
+    def zz_loss(q, k, v):
+        return jnp.sum(
+            ring_attention(q, k, v, mesh=seq_mesh, causal=True, zigzag=True)
+            * g
+        )
+
+    def ref_loss(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) * g)
+
+    got = jax.jit(jax.grad(zz_loss, argnums=(0, 1, 2)))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5,
+            err_msg=f"d{name} mismatch (zigzag)",
+        )
+
+
+def test_zigzag_key_mask_matches_oracle(seq_mesh):
+    q, k, v = _qkv(seed=14)
+    mask = (jax.random.uniform(jax.random.key(15), (B, S)) > 0.3)
+    mask = mask.at[:, 0].set(True).astype(jnp.float32)
+    out = jax.jit(
+        lambda q, k, v, m: ring_attention(
+            q, k, v, m, mesh=seq_mesh, causal=True, zigzag=True)
+    )(q, k, v, mask)
+    ref = mha_reference(q, k, v, key_mask=mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_zigzag_dropout_matches_contiguous(seq_mesh):
+    """The dropout hash is on GLOBAL positions, so the zigzag decomposition
+    must drop the exact same attention entries as the contiguous ring."""
+    q, k, v = _qkv(seed=16)
+    seed = 777
+    out_zz = jax.jit(
+        lambda q, k, v: ring_attention(
+            q, k, v, mesh=seq_mesh, causal=True, zigzag=True,
+            dropout_rate=0.1, dropout_seed=seed)
+    )(q, k, v)
+    out_ring = jax.jit(
+        lambda q, k, v: ring_attention(
+            q, k, v, mesh=seq_mesh, causal=True,
+            dropout_rate=0.1, dropout_seed=seed)
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_zz), np.asarray(out_ring),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_zigzag_requires_causal(seq_mesh):
+    q, k, v = _qkv()
+    with pytest.raises(ValueError, match="causal"):
+        ring_attention(q, k, v, mesh=seq_mesh, causal=False, zigzag=True)
+
+
 def test_dropout_matches_flash_interpret(seq_mesh):
     """Attention-prob dropout in the ring uses the flash kernel's stateless
     positional hash on GLOBAL positions with the same salt scheme, so for
