@@ -261,6 +261,44 @@ def test_transformer_xl_generate_endpoint():
         ep.batcher.close()
 
 
+def test_transformer_xl_repo_roundtrip(tmp_path):
+    """Export the Transformer-XL LM to a model repository, restore into a
+    fresh endpoint, and require bit-identical greedy generations (the
+    reference's triton model-store contract)."""
+    from deeplearningexamples_tpu.models.transformer_xl import (
+        TransformerXLConfig, TransformerXLTask,
+    )
+    from deeplearningexamples_tpu.serving import (
+        load_model_repository, save_model_repository,
+    )
+    from deeplearningexamples_tpu.serving.recipes import (
+        transformer_xl_generate_endpoint,
+    )
+
+    cfg = TransformerXLConfig(vocab_size=64, d_model=32, n_heads=2, d_head=16,
+                              d_ff=64, n_layers=2, seg_len=16, mem_len=16)
+    task = TransformerXLTask(cfg, jnp.float32)
+    params, _ = task.init(jax.random.key(4))
+    ep = transformer_xl_generate_endpoint(task, params, gen_len=8,
+                                          batch_buckets=(1, 2))
+    save_model_repository(str(tmp_path), "txl", params,
+                          input_spec=ep.input_spec,
+                          output_names=ep.output_names)
+    template = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, _ = load_model_repository(str(tmp_path), "txl", template)
+    ep2 = transformer_xl_generate_endpoint(task, restored,
+                                           name="txl_restored", gen_len=8,
+                                           batch_buckets=(1, 2))
+    try:
+        ctx = (np.arange(16, dtype=np.int32) * 3) % cfg.vocab_size
+        a = ep.batcher.infer({"context": ctx}, timeout=300)
+        b = ep2.batcher.infer({"context": ctx}, timeout=300)
+        np.testing.assert_array_equal(a["generated"], b["generated"])
+    finally:
+        ep.batcher.close()
+        ep2.batcher.close()
+
+
 def test_unet_endpoint_roundtrip(tmp_path):
     """Segmentation serving (reference ``nnUNet/triton/
     run_inference_on_triton.py``): patch -> labels + probs; export/restore
@@ -297,10 +335,14 @@ def test_unet_endpoint_roundtrip(tmp_path):
         ep2.batcher.close()
 
 
-def test_ncf_endpoint_ranking():
+def test_ncf_endpoint_ranking(tmp_path):
     """Recommendation serving (reference ``NCF/inference.py``): user +
-    candidate items -> scores and ranking; ranking consistent with scores."""
+    candidate items -> scores and ranking; ranking consistent with scores,
+    and the exported repository restores to bit-identical scores."""
     from deeplearningexamples_tpu.models.ncf import NcfConfig, NcfTask
+    from deeplearningexamples_tpu.serving import (
+        load_model_repository, save_model_repository,
+    )
     from deeplearningexamples_tpu.serving.recipes import ncf_endpoint
 
     cfg = NcfConfig(nb_users=50, nb_items=40, mf_dim=8,
@@ -308,6 +350,13 @@ def test_ncf_endpoint_ranking():
     task = NcfTask(cfg, jnp.float32)
     params, _ = task.init(jax.random.key(0))
     ep = ncf_endpoint(task, params, n_candidates=10, batch_buckets=(1, 2))
+    save_model_repository(str(tmp_path), "ncf", params,
+                          input_spec=ep.input_spec,
+                          output_names=ep.output_names)
+    template = jax.tree_util.tree_map(np.zeros_like, params)
+    restored, _ = load_model_repository(str(tmp_path), "ncf", template)
+    ep2 = ncf_endpoint(task, restored, name="ncf_restored", n_candidates=10,
+                       batch_buckets=(1, 2))
     try:
         items = np.arange(10, dtype=np.int32)
         out = ep.batcher.infer(
@@ -316,8 +365,12 @@ def test_ncf_endpoint_ranking():
         order = out["ranking"]
         s = out["scores"]
         assert np.all(np.diff(s[order]) <= 1e-7)  # ranking sorts descending
+        out2 = ep2.batcher.infer(
+            {"user": np.array([3], np.int32), "items": items}, timeout=300)
+        np.testing.assert_array_equal(out["scores"], out2["scores"])
     finally:
         ep.batcher.close()
+        ep2.batcher.close()
 
 
 def test_tft_model_repository_roundtrip(tmp_path):
