@@ -17,12 +17,25 @@ Each workload runs its production single-chip configuration:
 from __future__ import annotations
 
 import json
+import os
 import time
 import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compilation cache: the 13 benches compile ~20 programs at
+# real shapes (20-40s each over the tunnel); a warmed cache turns repeat runs
+# (same jax version/backend) from ~10 min of compile into seconds. Keyed on
+# serialized HLO + compile options, so it never changes what is measured.
+try:
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".cache", "jax_bench")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+except Exception:
+    pass  # cache is an optimization, never a requirement
 
 BASELINES = {
     "resnet50_train_throughput": (2470.0, "img/s/chip"),  # rn50 README:598
